@@ -1,0 +1,104 @@
+"""Data-layer tests: label conventions, TEF, fixed-shape building, batching."""
+import numpy as np
+
+from tvretrieval_tpu.data.datasets import (
+    ExampleBuilder, train_st_ed_label, eval_st_ed_label, tef_features,
+)
+from tvretrieval_tpu.data.pipeline import BatchIterator, DevicePrefetcher
+from tvretrieval_tpu.data.synthetic import make_synthetic_world
+
+
+def test_st_ed_labels_reference_docstring_cases():
+    # reference start_end_dataset.py:147-162 examples
+    assert train_st_ed_label([3.2, 7.6], 1.5, max_idx=99).tolist() == [2, 6]
+    assert eval_st_ed_label([3.2, 7.6], 1.5, max_idx=99).tolist() == [2, 5]
+    # start_end_dataset.py:277-295 example: ts=[5, 9] -> eval [3, 5]
+    assert eval_st_ed_label([5.0, 9.0], 1.5, max_idx=99).tolist() == [3, 5]
+    assert train_st_ed_label([5.0, 9.0], 1.5, max_idx=99).tolist() == [3, 6]
+    # clamping at the video end
+    assert train_st_ed_label([140.0, 160.0], 1.5, max_idx=10).tolist() == [10, 10]
+
+
+def test_tef_features():
+    tef = tef_features(4)
+    np.testing.assert_allclose(tef[:, 0], [0.0, 0.25, 0.5, 0.75])
+    np.testing.assert_allclose(tef[:, 1], [0.25, 0.5, 0.75, 1.0])
+
+
+def _make_builder(world, ctx_mode="video_sub_tef"):
+    return ExampleBuilder(
+        query_source=world.query_source,
+        video_source=world.video_source,
+        sub_source=world.sub_source,
+        ctx_mode=ctx_mode,
+        max_desc_l=30, max_ctx_l=100, clip_length=world.clip_length,
+    )
+
+
+def test_example_builder_fixed_shapes():
+    world = make_synthetic_world(n_videos=6, n_queries=10, seed=1)
+    builder = _make_builder(world)
+    batch = builder.build_train_batch(world.annotations[:4])
+    assert batch.query_feat.shape == (4, 30, world.query_source.dim)
+    assert batch.video_feat.shape == (4, 100, world.video_source.dim + 2)
+    assert batch.sub_feat.shape == (4, 100, world.sub_source.dim + 2)
+    assert batch.video_mask.shape == (4, 100)
+    # mask matches true clip count
+    row = world.annotations[0]
+    n_clips = world.video_source.get(row["vid_name"]).shape[0]
+    assert batch.video_mask[0].sum() == n_clips
+    # features are L2-normalized where mask is on
+    norms = np.linalg.norm(batch.video_feat[0, :n_clips, :-2], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+    # TEF occupies last two dims
+    np.testing.assert_allclose(batch.video_feat[0, 0, -2:], [0.0, 1.0 / n_clips], atol=1e-6)
+    # labels within mask
+    assert (batch.st_ed_indices[:, 0] <= batch.st_ed_indices[:, 1]).all()
+
+
+def test_example_builder_sub_only_mode():
+    world = make_synthetic_world(n_videos=4, n_queries=6, seed=2)
+    builder = ExampleBuilder(
+        query_source=world.query_source, sub_source=world.sub_source,
+        ctx_mode="sub_tef", max_desc_l=30, max_ctx_l=100, clip_length=1.5)
+    batch = builder.build_train_batch(world.annotations[:3])
+    assert batch.sub_feat.shape[-1] == world.sub_source.dim + 2
+    assert batch.video_feat.shape[-1] == 2  # placeholder
+    assert batch.video_mask.sum() > 0  # mask mirrors sub stream
+
+
+def test_context_batch_and_query_batch():
+    world = make_synthetic_world(n_videos=5, n_queries=8, seed=3)
+    builder = _make_builder(world)
+    ctx = builder.build_context_batch(world.corpus.vid_names, world.corpus.durations)
+    assert ctx.video_feat.shape[0] == 5
+    qb = builder.build_query_batch(world.annotations[:8])
+    assert qb.query_feat.shape == (8, 30, world.query_source.dim)
+    assert qb.meta[0]["desc_id"] == world.annotations[0]["desc_id"]
+
+
+def test_batch_iterator_deterministic_and_drop_last():
+    rows = [{"i": i} for i in range(10)]
+    it = BatchIterator(rows, batch_size=4, shuffle=True, drop_last=True, seed=7)
+    assert len(it) == 2
+    e0 = [tuple(r["i"] for r in b) for b in it]
+    it2 = BatchIterator(rows, batch_size=4, shuffle=True, drop_last=True, seed=7)
+    e0b = [tuple(r["i"] for r in b) for b in it2]
+    assert e0 == e0b  # same seed, same epoch -> same order
+    e1 = [tuple(r["i"] for r in b) for b in it2]
+    assert e0 != e1  # next epoch reshuffles
+
+
+def test_device_prefetcher_preserves_order_and_propagates_errors():
+    rows = [[{"i": i}] for i in range(5)]
+    pf = DevicePrefetcher(iter(rows), build_fn=lambda b: b[0]["i"] * 2)
+    assert list(pf) == [0, 2, 4, 6, 8]
+
+    def boom(b):
+        raise ValueError("boom")
+    pf2 = DevicePrefetcher(iter(rows), build_fn=boom)
+    try:
+        list(pf2)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

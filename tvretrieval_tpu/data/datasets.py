@@ -1,0 +1,255 @@
+"""Fixed-shape example building for moment-retrieval training & inference.
+
+Replaces the reference's per-model torch ``Dataset`` classes
+(start_end_dataset.py) with host-side numpy builders that always pad to the
+static (max_desc_l, max_ctx_l) shapes so XLA compiles exactly one program
+(the reference pads per-batch, tensor_utils.py:36-39 — a recompile per shape
+on TPU).
+
+Label conventions (reference start_end_dataset.py:147-162 / 277-295):
+  * train:  st = floor(ts0 / clip_len), ed = ceil(ts1 / clip_len), both
+    clamped to the last valid clip index. ``ed`` is *exclusive-ish*: the
+    translated-back span is [st*c, ed*c].
+  * eval:   ed = ceil(ts1 / clip_len) - 1 (inclusive index); predictions are
+    converted back with ed_seconds = (ed_idx + 1) * clip_len
+    (inference.py:430-431).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from tvretrieval_tpu.data.features import FeatureSource
+from tvretrieval_tpu.utils.io import l2_normalize, load_json, load_jsonl
+
+
+def train_st_ed_label(ts: Sequence[float], clip_length: float, max_idx: int) -> np.ndarray:
+    st = min(math.floor(ts[0] / clip_length), max_idx)
+    ed = min(math.ceil(ts[1] / clip_length), max_idx)
+    return np.asarray([st, ed], dtype=np.int32)
+
+
+def eval_st_ed_label(ts: Sequence[float], clip_length: float, max_idx: int) -> np.ndarray:
+    st = min(math.floor(ts[0] / clip_length), max_idx)
+    ed = min(math.ceil(ts[1] / clip_length) - 1, max_idx)
+    return np.asarray([st, ed], dtype=np.int32)
+
+
+def tef_features(n_clips: int) -> np.ndarray:
+    """Temporal endpoint features: row i = [i/n, (i+1)/n] (start_end_dataset.py:127-133)."""
+    st = np.arange(n_clips, dtype=np.float32) / n_clips
+    return np.stack([st, st + 1.0 / n_clips], axis=1)
+
+
+@dataclass
+class CorpusIndex:
+    """The evaluation corpus: ordered video list + durations + video2idx.
+
+    Built from ``tvr_video2dur_idx.json`` ({split: {vid: [duration, idx]}},
+    reference utils/mk_video_split_with_duration.py).
+    """
+
+    vid_names: List[str]
+    durations: List[float]
+    video2idx: Dict[str, int]
+
+    @classmethod
+    def from_video_duration_idx(cls, path: str, split: str) -> "CorpusIndex":
+        table = load_json(path)[split]
+        vid_names = list(table.keys())
+        return cls(
+            vid_names=vid_names,
+            durations=[table[v][0] for v in vid_names],
+            video2idx={v: table[v][1] for v in vid_names},
+        )
+
+    def __len__(self) -> int:
+        return len(self.vid_names)
+
+
+@dataclass
+class StartEndBatch:
+    """One fixed-shape training/eval batch (all numpy, host-side)."""
+
+    query_feat: np.ndarray       # (B, Lq, Dq)
+    query_mask: np.ndarray       # (B, Lq)
+    video_feat: np.ndarray       # (B, Lc, Dv[+2]) (zeros when video unused)
+    video_mask: np.ndarray       # (B, Lc)
+    sub_feat: np.ndarray         # (B, Lc, Ds[+2])
+    sub_mask: np.ndarray         # (B, Lc)
+    st_ed_indices: np.ndarray    # (B, 2) int32
+    meta: List[dict] = field(default_factory=list)
+
+    def model_inputs(self) -> Dict[str, np.ndarray]:
+        return dict(
+            query_feat=self.query_feat, query_mask=self.query_mask,
+            video_feat=self.video_feat, video_mask=self.video_mask,
+            sub_feat=self.sub_feat, sub_mask=self.sub_mask,
+            st_ed_indices=self.st_ed_indices,
+        )
+
+
+def _pad_to(feat: np.ndarray, length: int) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-pad axis 0 of (L, D) to ``length``; return (padded, mask)."""
+    n = min(feat.shape[0], length)
+    out = np.zeros((length,) + feat.shape[1:], dtype=np.float32)
+    mask = np.zeros((length,), dtype=np.float32)
+    out[:n] = feat[:n]
+    mask[:n] = 1.0
+    return out, mask
+
+
+class ExampleBuilder:
+    """Builds fixed-shape model inputs from annotation rows + feature sources.
+
+    ctx_mode follows the reference ("video", "sub", "tef" combinations,
+    config.py:108-110): TEF features are appended to each active context
+    stream's feature dim (+2).
+    """
+
+    def __init__(
+        self,
+        query_source: FeatureSource,
+        video_source: Optional[FeatureSource] = None,
+        sub_source: Optional[FeatureSource] = None,
+        ctx_mode: str = "video_sub_tef",
+        max_desc_l: int = 30,
+        max_ctx_l: int = 100,
+        clip_length: float = 1.5,
+        normalize_vfeat: bool = True,
+        normalize_tfeat: bool = True,
+    ):
+        self.query_source = query_source
+        self.video_source = video_source
+        self.sub_source = sub_source
+        self.ctx_mode = ctx_mode
+        self.use_video = "video" in ctx_mode
+        self.use_sub = "sub" in ctx_mode
+        self.use_tef = "tef" in ctx_mode
+        self.max_desc_l = max_desc_l
+        self.max_ctx_l = max_ctx_l
+        self.clip_length = clip_length
+        self.normalize_vfeat = normalize_vfeat
+        self.normalize_tfeat = normalize_tfeat
+        if self.use_video and video_source is None:
+            raise ValueError("ctx_mode includes video but no video_source given")
+        if self.use_sub and sub_source is None:
+            raise ValueError("ctx_mode includes sub but no sub_source given")
+
+    # ---- per-item builders -------------------------------------------------
+    def query(self, desc_id) -> tuple[np.ndarray, np.ndarray]:
+        feat = self.query_source.get(str(desc_id))[: self.max_desc_l]
+        if self.normalize_tfeat:
+            feat = l2_normalize(feat)
+        return _pad_to(feat, self.max_desc_l)
+
+    def context(self, vid_name: str, duration: Optional[float] = None):
+        """Returns (video_feat, sub_feat, mask, ctx_len). Inactive streams are
+        (Lc, 2) zeros like the reference placeholder (start_end_dataset.py:116)."""
+        ctx_l = 0
+        video_feat = sub_feat = None
+        if self.use_video:
+            video_feat = self.video_source.get(vid_name)[: self.max_ctx_l]
+            if self.normalize_vfeat:
+                video_feat = l2_normalize(video_feat)
+            ctx_l = video_feat.shape[0]
+        if self.use_sub:
+            sub_feat = self.sub_source.get(vid_name)[: self.max_ctx_l]
+            if self.normalize_tfeat:
+                sub_feat = l2_normalize(sub_feat)
+            ctx_l = sub_feat.shape[0]
+        if self.use_tef:
+            if ctx_l == 0:
+                assert duration is not None, "tef-only mode needs video duration"
+                ctx_l = min(int(duration // self.clip_length) + 1, self.max_ctx_l)
+            tef = tef_features(ctx_l)
+            if self.use_video:
+                video_feat = np.concatenate([video_feat, tef], axis=1)
+            if self.use_sub:
+                sub_feat = np.concatenate([sub_feat, tef], axis=1)
+            if not self.use_video and not self.use_sub:
+                # bare "tef" mode: TEF becomes the sole context stream
+                video_feat = tef
+
+        if video_feat is None:
+            video_feat = np.zeros((max(ctx_l, 1), 2), dtype=np.float32)
+        if sub_feat is None:
+            sub_feat = np.zeros((max(ctx_l, 1), 2), dtype=np.float32)
+
+        v_pad, mask = _pad_to(video_feat, self.max_ctx_l)
+        s_pad, s_mask = _pad_to(sub_feat, self.max_ctx_l)
+        if not self.use_video:
+            mask = s_mask
+        return v_pad, s_pad, mask, ctx_l
+
+    # ---- batch builders ----------------------------------------------------
+    def build_train_batch(self, rows: List[dict], eval_labels: bool = False) -> StartEndBatch:
+        B = len(rows)
+        q_feats = np.zeros((B, self.max_desc_l, self.query_source.dim), dtype=np.float32)
+        q_masks = np.zeros((B, self.max_desc_l), dtype=np.float32)
+        v_dim = (self.video_source.dim if self.use_video else 0) + 2 * self.use_tef
+        s_dim = (self.sub_source.dim if self.use_sub else 0) + 2 * self.use_tef
+        v_feats = np.zeros((B, self.max_ctx_l, max(v_dim, 2)), dtype=np.float32)
+        s_feats = np.zeros((B, self.max_ctx_l, max(s_dim, 2)), dtype=np.float32)
+        masks = np.zeros((B, self.max_ctx_l), dtype=np.float32)
+        st_ed = np.zeros((B, 2), dtype=np.int32)
+        label_fn = eval_st_ed_label if eval_labels else train_st_ed_label
+        metas = []
+        for i, row in enumerate(rows):
+            q_feats[i], q_masks[i] = self.query(row["desc_id"])
+            v_feats[i], s_feats[i], masks[i], ctx_l = self.context(
+                row["vid_name"], row.get("duration"))
+            st_ed[i] = label_fn(row["ts"], self.clip_length, max_idx=ctx_l - 1)
+            metas.append({k: row.get(k) for k in ("desc_id", "desc", "vid_name", "duration", "ts", "type")})
+        return StartEndBatch(
+            query_feat=q_feats, query_mask=q_masks,
+            video_feat=v_feats, video_mask=masks,
+            sub_feat=s_feats, sub_mask=masks.copy(),
+            st_ed_indices=st_ed, meta=metas,
+        )
+
+    def build_query_batch(self, rows: List[dict]) -> StartEndBatch:
+        """Query-only batch for corpus inference (eval dataset data_mode='query')."""
+        B = len(rows)
+        q_feats = np.zeros((B, self.max_desc_l, self.query_source.dim), dtype=np.float32)
+        q_masks = np.zeros((B, self.max_desc_l), dtype=np.float32)
+        for i, row in enumerate(rows):
+            q_feats[i], q_masks[i] = self.query(row["desc_id"])
+        empty = np.zeros((B, 1), dtype=np.float32)
+        return StartEndBatch(
+            query_feat=q_feats, query_mask=q_masks,
+            video_feat=empty, video_mask=empty, sub_feat=empty, sub_mask=empty,
+            st_ed_indices=np.zeros((B, 2), dtype=np.int32),
+            meta=[{k: r.get(k) for k in ("desc_id", "desc", "vid_name", "ts")} for r in rows],
+        )
+
+    def build_context_batch(self, vid_names: List[str], durations: List[float]) -> StartEndBatch:
+        """Context-only batch for corpus encoding (data_mode='context')."""
+        B = len(vid_names)
+        v_dim = (self.video_source.dim if self.use_video else 0) + 2 * self.use_tef
+        s_dim = (self.sub_source.dim if self.use_sub else 0) + 2 * self.use_tef
+        v_feats = np.zeros((B, self.max_ctx_l, max(v_dim, 2)), dtype=np.float32)
+        s_feats = np.zeros((B, self.max_ctx_l, max(s_dim, 2)), dtype=np.float32)
+        masks = np.zeros((B, self.max_ctx_l), dtype=np.float32)
+        for i, (vid, dur) in enumerate(zip(vid_names, durations)):
+            v_feats[i], s_feats[i], masks[i], _ = self.context(vid, dur)
+        empty = np.zeros((B, 1), dtype=np.float32)
+        return StartEndBatch(
+            query_feat=empty, query_mask=empty,
+            video_feat=v_feats, video_mask=masks,
+            sub_feat=s_feats, sub_mask=masks.copy(),
+            st_ed_indices=np.zeros((B, 2), dtype=np.int32),
+            meta=[{"vid_name": v, "duration": d} for v, d in zip(vid_names, durations)],
+        )
+
+
+def load_annotations(path: str, data_ratio: float = 1.0) -> List[dict]:
+    """Load a TVR-format jsonl annotation file, optionally truncated
+    (reference --data_ratio, config.py:29-32)."""
+    rows = load_jsonl(path)
+    if data_ratio != 1.0:
+        rows = rows[: int(len(rows) * data_ratio)]
+    return rows
