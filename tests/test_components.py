@@ -1,0 +1,106 @@
+"""Unit tests for shared blocks and span ops."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvretrieval_tpu.models.components import (
+    BertAttention, BertSelfAttention, Conv1dSame, LinearLayer,
+    TrainablePositionalEncoding, sinusoidal_position_encoding,
+)
+from tvretrieval_tpu.ops.masking import mask_logits
+from tvretrieval_tpu.ops.span import min_max_length_mask, top_spans_from_probs, flat_topk_spans
+
+
+def test_mask_logits():
+    x = jnp.array([[1.0, 2.0, 3.0]])
+    m = jnp.array([[1.0, 1.0, 0.0]])
+    out = mask_logits(x, m)
+    assert out[0, 0] == 1.0 and out[0, 2] == -1e10
+
+
+def test_attention_mask_blocks_padded_keys(rng):
+    """Attention output must not depend on values at masked key positions."""
+    att = BertSelfAttention(num_heads=4, dropout=0.0)
+    x = jnp.asarray(rng.normal(size=(2, 10, 32)), dtype=jnp.float32)
+    mask = jnp.ones((2, 10)).at[:, 7:].set(0.0)
+    params = att.init(jax.random.PRNGKey(0), x, x, x, mask)
+    out1 = att.apply(params, x, x, x, mask)
+    x2 = x.at[:, 7:].set(99.0)  # perturb masked positions
+    out2 = att.apply(params, x2, x2, x2, mask)
+    np.testing.assert_allclose(np.asarray(out1[:, :7]), np.asarray(out2[:, :7]),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_conv1d_same_matches_manual_correlation(rng):
+    conv = Conv1dSame(kernel_size=5)
+    x = jnp.asarray(rng.normal(size=(3, 20)), dtype=jnp.float32)
+    params = conv.init(jax.random.PRNGKey(0), x)
+    out = conv.apply(params, x)
+    kernel = np.asarray(params["params"]["conv"]["kernel"])[:, 0, 0]  # (5,)
+    xp = np.pad(np.asarray(x), ((0, 0), (2, 2)))
+    expect = np.stack([
+        np.convolve(xp[i], kernel[::-1], mode="valid") for i in range(3)])
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_conv1d_same_batched_rows(rng):
+    """(Nq, Nv, L) rows must convolve identically to flattened (Nq*Nv, L)."""
+    conv = Conv1dSame(kernel_size=5)
+    x = jnp.asarray(rng.normal(size=(2, 3, 16)), dtype=jnp.float32)
+    params = conv.init(jax.random.PRNGKey(0), x)
+    out3d = conv.apply(params, x)
+    out2d = conv.apply(params, x.reshape(6, 16)).reshape(2, 3, 16)
+    np.testing.assert_allclose(np.asarray(out3d), np.asarray(out2d), rtol=1e-6)
+
+
+def test_min_max_length_mask_matches_reference_semantics():
+    # reference inference.py:170-192 docstring case: L=4, min_l=1, max_l=3
+    m = min_max_length_mask(4, 1, 3)
+    expect = np.array([
+        [0, 1, 1, 0],
+        [0, 0, 1, 1],
+        [0, 0, 0, 1],
+        [0, 0, 0, 0]], dtype=np.float32)
+    np.testing.assert_array_equal(m, expect)
+
+
+def test_top_spans_from_probs_agrees_with_numpy(rng):
+    st = jnp.asarray(rng.uniform(size=(4, 12)), dtype=jnp.float32)
+    ed = jnp.asarray(rng.uniform(size=(4, 12)), dtype=jnp.float32)
+    lm = jnp.asarray(min_max_length_mask(12, 2, 8))
+    st_i, ed_i, scores = top_spans_from_probs(st, ed, lm, top_n=5)
+    joint = np.einsum("bm,bn->bmn", np.asarray(st), np.asarray(ed)) * np.asarray(lm)
+    for b in range(4):
+        flat = joint[b].ravel()
+        best = np.sort(flat)[::-1][:5]
+        np.testing.assert_allclose(np.asarray(scores[b]), best, rtol=1e-5)
+        np.testing.assert_allclose(
+            joint[b][np.asarray(st_i[b]), np.asarray(ed_i[b])], best, rtol=1e-5)
+
+
+def test_flat_topk_spans_unravels_correctly(rng):
+    joint = jnp.asarray(rng.uniform(size=(2, 3, 6, 6)), dtype=jnp.float32)
+    vid, st, ed, scores = flat_topk_spans(joint, top_n=4)
+    jnp_ = np.asarray(joint)
+    for q in range(2):
+        flat = jnp_[q].ravel()
+        best = np.sort(flat)[::-1][:4]
+        np.testing.assert_allclose(np.asarray(scores[q]), best, rtol=1e-6)
+        got = jnp_[q][np.asarray(vid[q]), np.asarray(st[q]), np.asarray(ed[q])]
+        np.testing.assert_allclose(got, best, rtol=1e-6)
+
+
+def test_sinusoidal_pe_shape():
+    pe = sinusoidal_position_encoding(50, 64)
+    assert pe.shape == (50, 64)
+    np.testing.assert_allclose(pe[0, 0::2], 0.0, atol=1e-6)  # sin(0)=0
+
+
+def test_linear_layer_and_pos_embed_shapes(rng):
+    x = jnp.asarray(rng.normal(size=(2, 7, 16)), dtype=jnp.float32)
+    ll = LinearLayer(out_dim=8)
+    params = ll.init(jax.random.PRNGKey(0), x)
+    assert ll.apply(params, x).shape == (2, 7, 8)
+    pe = TrainablePositionalEncoding(max_len=10)
+    p2 = pe.init(jax.random.PRNGKey(0), x)
+    assert pe.apply(p2, x).shape == x.shape

@@ -1,0 +1,418 @@
+"""XML — Cross-modal Moment Localization, TPU-native.
+
+Functional flax re-design of the reference network
+(baselines/crossmodal_moment_localization/model_xml.py): dual video/subtitle
+context encoders with cross-attention (model_xml.py:344-375), a modular
+query encoder producing one query vector per context stream (:399-423),
+video-level cosine retrieval scores (:436-453), and the merged-stream ConvSE
+start/end span detector (:455-502) trained with CE span loss + in-batch
+hinge/LSE ranking losses with optional hard negatives (:588-637).
+
+Design notes (TPU-first):
+  * All shapes static — (B, max_desc_l) queries, (B, max_ctx_l) contexts.
+  * The decomposed inference API (``encode_context`` / ``encode_query`` /
+    ``get_pred_from_raw_query(cross=True)``) is preserved: corpus retrieval
+    pre-encodes contexts once, then scores queries against the whole cached
+    corpus as blocked MXU matmuls (see tvretrieval_tpu/retrieval/engine.py).
+  * Loss schedule knobs (lw_st_ed activation, hard-negative pool bound) are
+    traced scalars, not Python config mutations, so one compiled train step
+    serves the whole schedule (reference mutates model.config at epoch
+    boundaries, train.py:45-48).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tvretrieval_tpu.models.components import (
+    BertAttention,
+    BertSelfAttention,
+    Conv1dSame,
+    ConvEncoder,
+    LinearLayer,
+    TrainablePositionalEncoding,
+    _normal_init,
+)
+from tvretrieval_tpu.ops.masking import mask_logits
+
+
+@dataclass(frozen=True)
+class XMLConfig:
+    """Static model configuration (mirrors reference xml_base_config:19-49)."""
+
+    ctx_mode: str = "video_sub"            # "video", "sub", "video_sub" (+"_tef" handled by data layer)
+    merge_two_stream: bool = True
+    cross_att: bool = True
+    span_predictor_type: str = "conv"      # "conv" | "cat_linear"
+    encoder_type: str = "transformer"      # "transformer" | "cnn"
+    visual_input_size: int = 3074          # resnet_i3d 3072 + 2 TEF
+    sub_input_size: int = 770              # roberta 768 + 2 TEF
+    query_input_size: int = 768
+    hidden_size: int = 256
+    n_heads: int = 4
+    conv_kernel_size: int = 5
+    max_ctx_l: int = 100
+    max_desc_l: int = 30
+    input_drop: float = 0.1
+    drop: float = 0.1
+    margin: float = 0.1
+    ranking_loss_type: str = "hinge"       # "hinge" | "lse"
+    lw_neg_q: float = 1.0
+    lw_neg_ctx: float = 1.0
+    no_modular: bool = False
+    initializer_range: float = 0.02
+    dtype_str: str = "float32"             # compute dtype ("float32" | "bfloat16")
+
+    @property
+    def use_video(self) -> bool:
+        return "video" in self.ctx_mode
+
+    @property
+    def use_sub(self) -> bool:
+        return "sub" in self.ctx_mode
+
+    @property
+    def n_streams(self) -> int:
+        return int(self.use_video) + int(self.use_sub)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.dtype_str == "bfloat16" else jnp.float32
+
+
+def cosine_video_scores(query_vec: jnp.ndarray, context_feat1: jnp.ndarray,
+                        context_mask: jnp.ndarray) -> jnp.ndarray:
+    """Max-over-clips cosine similarity of each query vs each video.
+
+    Args:
+        query_vec: (M, D); context_feat1: (N, L, D); context_mask: (N, L)
+    Returns:
+        (M, N) scores. Reference get_video_level_scores (model_xml.py:436-453).
+    """
+    q = query_vec / (jnp.linalg.norm(query_vec, axis=-1, keepdims=True) + 1e-12)
+    f = context_feat1 / (jnp.linalg.norm(context_feat1, axis=-1, keepdims=True) + 1e-12)
+    scores = jnp.einsum("md,nld->mln", q, f, preferred_element_type=jnp.float32)
+    scores = mask_logits(scores, context_mask.T[None])  # (1, L, N) mask
+    return scores.max(axis=1)
+
+
+class XML(nn.Module):
+    cfg: XMLConfig
+
+    def setup(self):
+        c = self.cfg
+        dt = c.dtype
+        self.query_pos_embed = TrainablePositionalEncoding(c.max_desc_l, c.input_drop, dt)
+        self.ctx_pos_embed = TrainablePositionalEncoding(c.max_ctx_l, c.input_drop, dt)
+        self.query_input_proj = LinearLayer(c.hidden_size, True, c.input_drop, True, dt)
+        self.query_encoder = self._make_encoder()
+
+        if c.use_video:
+            self.video_input_proj = LinearLayer(c.hidden_size, True, c.input_drop, True, dt)
+            self.video_encoder1 = self._make_encoder()
+            self.video_encoder2 = self._make_encoder()
+            if c.cross_att:
+                self.video_cross_att = BertSelfAttention(c.n_heads, c.drop, dt)
+                self.video_cross_ln = nn.LayerNorm(epsilon=1e-5)
+            elif c.encoder_type == "transformer":
+                self.video_encoder3 = self._make_encoder()
+            self.video_query_linear = nn.Dense(c.hidden_size, kernel_init=_normal_init(), dtype=dt)
+            if c.span_predictor_type == "conv" and not c.merge_two_stream:
+                self.video_st_predictor = Conv1dSame(c.conv_kernel_size, dt)
+                self.video_ed_predictor = Conv1dSame(c.conv_kernel_size, dt)
+            elif c.span_predictor_type == "cat_linear":
+                self.video_st_q = nn.Dense(1, kernel_init=_normal_init(), dtype=dt)
+                self.video_st_ctx = nn.Dense(1, kernel_init=_normal_init(), dtype=dt)
+                self.video_ed_q = nn.Dense(1, kernel_init=_normal_init(), dtype=dt)
+                self.video_ed_ctx = nn.Dense(1, kernel_init=_normal_init(), dtype=dt)
+
+        if c.use_sub:
+            self.sub_input_proj = LinearLayer(c.hidden_size, True, c.input_drop, True, dt)
+            self.sub_encoder1 = self._make_encoder()
+            self.sub_encoder2 = self._make_encoder()
+            if c.cross_att:
+                self.sub_cross_att = BertSelfAttention(c.n_heads, c.drop, dt)
+                self.sub_cross_ln = nn.LayerNorm(epsilon=1e-5)
+            elif c.encoder_type == "transformer":
+                self.sub_encoder3 = self._make_encoder()
+            self.sub_query_linear = nn.Dense(c.hidden_size, kernel_init=_normal_init(), dtype=dt)
+            if c.span_predictor_type == "conv" and not c.merge_two_stream:
+                self.sub_st_predictor = Conv1dSame(c.conv_kernel_size, dt)
+                self.sub_ed_predictor = Conv1dSame(c.conv_kernel_size, dt)
+            elif c.span_predictor_type == "cat_linear":
+                self.sub_st_q = nn.Dense(1, kernel_init=_normal_init(), dtype=dt)
+                self.sub_st_ctx = nn.Dense(1, kernel_init=_normal_init(), dtype=dt)
+                self.sub_ed_q = nn.Dense(1, kernel_init=_normal_init(), dtype=dt)
+                self.sub_ed_ctx = nn.Dense(1, kernel_init=_normal_init(), dtype=dt)
+
+        self.modular_vector_mapping = nn.Dense(
+            self.cfg.n_streams, use_bias=False, kernel_init=_normal_init(), dtype=dt)
+
+        if c.merge_two_stream and c.span_predictor_type == "conv":
+            self.merged_st_predictor = Conv1dSame(c.conv_kernel_size, dt)
+            self.merged_ed_predictor = Conv1dSame(c.conv_kernel_size, dt)
+
+    def _make_encoder(self):
+        c = self.cfg
+        if c.encoder_type == "transformer":
+            return BertAttention(c.n_heads, c.drop, c.drop, c.dtype)
+        if c.encoder_type == "cnn":
+            return ConvEncoder(kernel_size=5, dropout=c.drop, dtype=c.dtype)
+        raise NotImplementedError(f"encoder_type {c.encoder_type}")
+
+    # ------------------------------------------------------------------ input
+    def encode_input(self, feat, mask, proj, encoder, pos_embed, deterministic):
+        """project -> +pos-embed (LN+drop) -> 1 encoder layer
+        (reference model_xml.py:377-397)."""
+        x = proj(feat, deterministic=deterministic)
+        x = pos_embed(x, deterministic=deterministic)
+        return encoder(x, mask, deterministic=deterministic)
+
+    # ------------------------------------------------------------------ query
+    def encode_query(self, query_feat, query_mask, deterministic: bool = True):
+        encoded = self.encode_input(query_feat, query_mask, self.query_input_proj,
+                                    self.query_encoder, self.query_pos_embed, deterministic)
+        return self.get_modularized_queries(encoded, query_mask)
+
+    def get_modularized_queries(self, encoded_query, query_mask):
+        """Softmax attention pooling into one query vector per stream
+        (reference model_xml.py:399-423). Column 0 = video, 1 = sub."""
+        if self.cfg.no_modular:
+            pooled = mask_logits(encoded_query, query_mask[:, :, None]).max(axis=1)
+            return pooled, pooled
+        att = self.modular_vector_mapping(encoded_query)          # (N, L, n_streams)
+        att = jax.nn.softmax(mask_logits(att, query_mask[:, :, None]), axis=1)
+        queries = jnp.einsum("blm,bld->bmd", att, encoded_query,
+                             preferred_element_type=jnp.float32).astype(encoded_query.dtype)
+        if self.cfg.n_streams == 2:
+            return queries[:, 0], queries[:, 1]
+        return queries[:, 0], queries[:, 0]
+
+    # ---------------------------------------------------------------- context
+    def encode_context(self, video_feat, video_mask, sub_feat, sub_mask,
+                       deterministic: bool = True):
+        """Returns (video_feat1, video_feat2, sub_feat1, sub_feat2); feat1 is
+        the retrieval stream, feat2 the localization stream
+        (reference model_xml.py:331-355)."""
+        c = self.cfg
+        if c.cross_att:
+            assert c.use_video and c.use_sub, "cross_att requires both streams"
+            ev = self.encode_input(video_feat, video_mask, self.video_input_proj,
+                                   self.video_encoder1, self.ctx_pos_embed, deterministic)
+            es = self.encode_input(sub_feat, sub_mask, self.sub_input_proj,
+                                   self.sub_encoder1, self.ctx_pos_embed, deterministic)
+            xv = self._cross_context(ev, video_mask, es, sub_mask,
+                                     self.video_cross_att, self.video_cross_ln,
+                                     self.video_encoder2, deterministic)
+            xs = self._cross_context(es, sub_mask, ev, video_mask,
+                                     self.sub_cross_att, self.sub_cross_ln,
+                                     self.sub_encoder2, deterministic)
+            return ev, xv, es, xs
+
+        vf1 = vf2 = sf1 = sf2 = None
+        if c.use_video:
+            vf1 = self.encode_input(video_feat, video_mask, self.video_input_proj,
+                                    self.video_encoder1, self.ctx_pos_embed, deterministic)
+            vf2 = self.video_encoder2(vf1, video_mask, deterministic=deterministic)
+            if c.encoder_type == "transformer":
+                vf2 = self.video_encoder3(vf2, video_mask, deterministic=deterministic)
+        if c.use_sub:
+            sf1 = self.encode_input(sub_feat, sub_mask, self.sub_input_proj,
+                                    self.sub_encoder1, self.ctx_pos_embed, deterministic)
+            sf2 = self.sub_encoder2(sf1, sub_mask, deterministic=deterministic)
+            if c.encoder_type == "transformer":
+                sf2 = self.sub_encoder3(sf2, sub_mask, deterministic=deterministic)
+        return vf1, vf2, sf1, sf2
+
+    def _cross_context(self, main, main_mask, side, side_mask,
+                       cross_att, norm, self_att, deterministic):
+        """cross-att(main<-side) + LN residual + self-att layer
+        (reference model_xml.py:357-375)."""
+        cross_mask = jnp.einsum("bm,bn->bmn", main_mask, side_mask)
+        out = cross_att(main, side, side, cross_mask, deterministic=deterministic)
+        residual = norm(out + main)
+        return self_att(residual, main_mask, deterministic=deterministic)
+
+    # ------------------------------------------------------------------ spans
+    def _span_conv(self, st_predictor, ed_predictor, similarity):
+        return st_predictor(similarity), ed_predictor(similarity)
+
+    def merged_st_ed_scores(self, video_query, video_feat2, sub_query, sub_feat2,
+                            context_mask, cross: bool = False):
+        """Merged-stream span logits (reference get_merged_st_ed_prob :455-502).
+
+        cross=False: per-pair (B, L). cross=True: every query against every
+        video, (Nq, Nv, L) — the corpus-inference path.
+        """
+        c = self.cfg
+        assert c.use_video and c.use_sub and c.span_predictor_type == "conv"
+        vq = self.video_query_linear(video_query)
+        sq = self.sub_query_linear(sub_query)
+        if cross:
+            sim_v = jnp.einsum("md,nld->mnl", vq, video_feat2,
+                               preferred_element_type=jnp.float32)
+            sim_s = jnp.einsum("md,nld->mnl", sq, sub_feat2,
+                               preferred_element_type=jnp.float32)
+            similarity = ((sim_v + sim_s) / 2).astype(video_feat2.dtype)
+            mask = context_mask[None]                 # (1, Nv, L)
+        else:
+            sim_v = jnp.einsum("bd,bld->bl", vq, video_feat2,
+                               preferred_element_type=jnp.float32)
+            sim_s = jnp.einsum("bd,bld->bl", sq, sub_feat2,
+                               preferred_element_type=jnp.float32)
+            similarity = ((sim_v + sim_s) / 2).astype(video_feat2.dtype)
+            mask = context_mask
+        st, ed = self._span_conv(self.merged_st_predictor, self.merged_ed_predictor, similarity)
+        return mask_logits(st, mask), mask_logits(ed, mask)
+
+    def single_stream_st_ed_scores(self, query, feat2, mask, stream: str, cross: bool = False):
+        """Per-stream span logits (reference _get_st_ed_prob :512-551)."""
+        c = self.cfg
+        q = (self.video_query_linear if stream == "video" else self.sub_query_linear)(query)
+        if c.span_predictor_type == "conv":
+            stp = getattr(self, f"{stream}_st_predictor")
+            edp = getattr(self, f"{stream}_ed_predictor")
+            if cross:
+                sim = jnp.einsum("md,nld->mnl", q, feat2, preferred_element_type=jnp.float32)
+                sim = sim.astype(feat2.dtype)
+                st, ed = stp(sim), edp(sim)
+                mask = mask[None]
+            else:
+                sim = jnp.einsum("bd,bld->bl", q, feat2, preferred_element_type=jnp.float32)
+                sim = sim.astype(feat2.dtype)
+                st, ed = stp(sim), edp(sim)
+        elif c.span_predictor_type == "cat_linear":
+            st_q = getattr(self, f"{stream}_st_q")(q)          # (Nq, 1)
+            st_ctx = getattr(self, f"{stream}_st_ctx")(feat2)[..., 0]  # (Nv, L)
+            ed_q = getattr(self, f"{stream}_ed_q")(q)
+            ed_ctx = getattr(self, f"{stream}_ed_ctx")(feat2)[..., 0]
+            if cross:
+                st = st_q[:, :, None] + st_ctx[None]            # (Nq, Nv, L)
+                ed = ed_q[:, :, None] + ed_ctx[None]
+                mask = mask[None]
+            else:
+                st = st_q + st_ctx
+                ed = ed_q + ed_ctx
+        else:
+            raise NotImplementedError(c.span_predictor_type)
+        return mask_logits(st, mask), mask_logits(ed, mask)
+
+    # ------------------------------------------------------------- prediction
+    def get_pred_from_raw_query(self, query_feat, query_mask,
+                                video_feat1, video_feat2, video_mask,
+                                sub_feat1, sub_feat2, sub_mask,
+                                cross: bool = False, deterministic: bool = True):
+        """(q2ctx_scores, st_logits, ed_logits) — reference model_xml.py:553-586.
+
+        cross=False: in-batch pairs, q2ctx (N, N), spans (N, L).
+        cross=True:  all queries x all videos, q2ctx (Nq, Nv), spans (Nq, Nv, L).
+        """
+        c = self.cfg
+        video_query, sub_query = self.encode_query(query_feat, query_mask, deterministic)
+
+        v_scores = cosine_video_scores(video_query, video_feat1, video_mask) if c.use_video else 0
+        s_scores = cosine_video_scores(sub_query, sub_feat1, sub_mask) if c.use_sub else 0
+        q2ctx = (v_scores + s_scores) / c.n_streams
+
+        if c.merge_two_stream and c.use_video and c.use_sub:
+            st, ed = self.merged_st_ed_scores(video_query, video_feat2,
+                                              sub_query, sub_feat2, video_mask, cross)
+        else:
+            vst, ved = (self.single_stream_st_ed_scores(video_query, video_feat2,
+                                                        video_mask, "video", cross)
+                        if c.use_video else (0, 0))
+            sst, sed = (self.single_stream_st_ed_scores(sub_query, sub_feat2,
+                                                        sub_mask, "sub", cross)
+                        if c.use_sub else (0, 0))
+            st = (vst + sst) / c.n_streams
+            ed = (ved + sed) / c.n_streams
+        return q2ctx, st, ed
+
+    # -------------------------------------------------------------- training
+    def __call__(self, query_feat, query_mask, video_feat, video_mask,
+                 sub_feat, sub_mask, st_ed_indices,
+                 lw_st_ed: jnp.ndarray = 0.01,
+                 neg_sample_upper: Optional[jnp.ndarray] = None,
+                 deterministic: bool = False):
+        """Training forward: total loss + per-loss dict (reference :212-251).
+
+        Args:
+            lw_st_ed: traced span-loss weight (0 before train_span_start_epoch).
+            neg_sample_upper: exclusive upper bound of the sampled negative
+                *rank*; batch size when hard negatives are off,
+                1 + hard_pool_size once they turn on (reference :608-624).
+        """
+        c = self.cfg
+        vf1, vf2, sf1, sf2 = self.encode_context(
+            video_feat, video_mask, sub_feat, sub_mask, deterministic)
+        q2ctx, st_logits, ed_logits = self.get_pred_from_raw_query(
+            query_feat, query_mask, vf1, vf2, video_mask, sf1, sf2, sub_mask,
+            cross=False, deterministic=deterministic)
+
+        st_logits = st_logits.astype(jnp.float32)
+        ed_logits = ed_logits.astype(jnp.float32)
+        loss_st = _cross_entropy(st_logits, st_ed_indices[:, 0])
+        loss_ed = _cross_entropy(ed_logits, st_ed_indices[:, 1])
+        loss_st_ed = loss_st + loss_ed
+
+        bsz = q2ctx.shape[0]
+        if neg_sample_upper is None:
+            neg_sample_upper = jnp.asarray(bsz)
+        key = self.make_rng("negatives") if not deterministic else jax.random.PRNGKey(0)
+        loss_neg_ctx, loss_neg_q = video_level_ranking_losses(
+            q2ctx.astype(jnp.float32), key, margin=c.margin,
+            loss_type=c.ranking_loss_type, neg_sample_upper=neg_sample_upper)
+
+        loss = (lw_st_ed * loss_st_ed
+                + c.lw_neg_ctx * loss_neg_ctx
+                + c.lw_neg_q * loss_neg_q)
+        return loss, {
+            "loss_st_ed": lw_st_ed * loss_st_ed,
+            "loss_neg_ctx": c.lw_neg_ctx * loss_neg_ctx,
+            "loss_neg_q": c.lw_neg_q * loss_neg_q,
+            "loss_overall": loss,
+        }
+
+
+def _cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1).mean()
+
+
+def video_level_ranking_losses(scores: jnp.ndarray, key: jax.Array, margin: float,
+                               loss_type: str, neg_sample_upper: jnp.ndarray):
+    """In-batch ranking losses with randomized (optionally hard) negatives.
+
+    scores: (N, N) cosine similarities, diagonal = positives. For each row a
+    negative is drawn uniformly from ranks [1, neg_sample_upper) of the
+    descending-sorted row (diagonal pinned to rank 0 via a +999 mask), then
+    hinge or LSE loss pushes pos above neg (reference model_xml.py:588-637).
+    """
+    n = scores.shape[0]
+    idx = jnp.arange(n)
+    pos = scores[idx, idx]
+    eye = jnp.eye(n, dtype=scores.dtype)
+    masked = scores * (1 - eye) + eye * 999.0
+
+    def sample_neg(s, s_masked, k):
+        order = jnp.argsort(-s_masked, axis=1)              # rank 0 = diagonal
+        ranks = jax.random.randint(k, (n,), 1, jnp.maximum(neg_sample_upper, 2))
+        neg_cols = jnp.take_along_axis(order, ranks[:, None], axis=1)[:, 0]
+        return s[idx, neg_cols]
+
+    k_ctx, k_q = jax.random.split(key)
+    neg_ctx = sample_neg(scores, masked, k_ctx)             # pos query, neg video
+    neg_q = sample_neg(scores.T, masked.T, k_q)             # neg query, pos video
+
+    def rank_loss(p, ng):
+        if loss_type == "hinge":
+            return jnp.maximum(0.0, margin + ng - p).mean()
+        if loss_type == "lse":
+            return jnp.log1p(jnp.exp(ng - p)).mean()
+        raise NotImplementedError(loss_type)
+
+    return rank_loss(pos, neg_ctx), rank_loss(pos, neg_q)
