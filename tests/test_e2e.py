@@ -1,0 +1,99 @@
+"""End-to-end smoke: train XML on a synthetic world, run corpus inference,
+evaluate, and check the planted signal is actually learned (SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+from tvretrieval_tpu.data.datasets import ExampleBuilder
+from tvretrieval_tpu.data.synthetic import make_synthetic_world
+from tvretrieval_tpu.evaluation.metrics import eval_retrieval
+from tvretrieval_tpu.evaluation.submission import submission_top_n
+from tvretrieval_tpu.models.xml import XMLConfig
+from tvretrieval_tpu.retrieval.engine import RetrievalConfig, encode_corpus, retrieve
+from tvretrieval_tpu.training.xml_trainer import TrainSettings, XMLTrainer
+
+
+@pytest.fixture(scope="module")
+def tiny_world():
+    return make_synthetic_world(
+        n_videos=12, n_queries=48, vid_dim=24, text_dim=16,
+        max_clips=16, signal=3.0, seed=11)
+
+
+def _builder(world):
+    return ExampleBuilder(
+        query_source=world.query_source, video_source=world.video_source,
+        sub_source=world.sub_source, ctx_mode="video_sub_tef",
+        max_desc_l=30, max_ctx_l=20, clip_length=world.clip_length)
+
+
+def _model_cfg(world, builder):
+    return XMLConfig(
+        ctx_mode="video_sub", visual_input_size=builder.video_source.dim + 2,
+        sub_input_size=builder.sub_source.dim + 2,
+        query_input_size=builder.query_source.dim,
+        hidden_size=32, n_heads=4, max_ctx_l=20, max_desc_l=30,
+        input_drop=0.1, drop=0.1)
+
+
+def test_train_then_retrieve_then_eval(tiny_world):
+    world = tiny_world
+    builder = _builder(world)
+    cfg = _model_cfg(world, builder)
+    settings = TrainSettings(
+        lr=5e-4, n_epoch=12, bsz=16, lw_st_ed=0.02,
+        hard_negative_start_epoch=8, hard_pool_size=4, seed=0)
+    trainer = XMLTrainer(cfg, settings, builder, world.annotations, mesh=None)
+
+    first = trainer.train_epoch(0)
+    for epoch in range(1, settings.n_epoch):
+        last = trainer.train_epoch(epoch)
+    assert last["loss_overall"] < first["loss_overall"], \
+        f"loss did not decrease: {first} -> {last}"
+
+    rcfg = RetrievalConfig(query_bsz=16, context_bsz=12, max_vcmr_video=10,
+                           min_pred_l=1, max_pred_l=10,
+                           clip_length=world.clip_length)
+    cache = encode_corpus(trainer.model, trainer.variables(), builder,
+                          world.corpus, rcfg)
+    assert cache.video_feat1.shape == (12, 20, 32)
+    raw = retrieve(trainer.model, trainer.variables(), builder, cache,
+                   world.annotations, world.corpus, rcfg)
+    raw["video2idx"] = world.corpus.video2idx
+    submission = submission_top_n(raw, 100)
+
+    metrics = eval_retrieval(submission, world.annotations)
+    # planted signal must be learned: VR r1 way above chance (1/12 = 8.3%)
+    assert metrics["VR"]["r1"] > 30.0, metrics["VR"]
+    # moments must beat random within retrieved videos
+    assert metrics["VCMR"]["0.5-r10"] > 10.0, metrics["VCMR"]
+    assert metrics["SVMR"]["0.5-r5"] > 10.0, metrics["SVMR"]
+
+    # submission format contract
+    entry = submission["VCMR"][0]
+    assert set(entry) == {"desc_id", "desc", "predictions"}
+    assert len(entry["predictions"][0]) == 4
+
+    # scores must be sorted descending per query
+    scores = [p[3] for p in entry["predictions"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_checkpoint_roundtrip(tiny_world, tmp_path):
+    import jax
+    world = tiny_world
+    builder = _builder(world)
+    cfg = _model_cfg(world, builder)
+    settings = TrainSettings(lr=1e-4, n_epoch=1, bsz=8, seed=3)
+    trainer = XMLTrainer(cfg, settings, builder, world.annotations[:16], mesh=None)
+    trainer.train_epoch(0)
+
+    from tvretrieval_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+    save_checkpoint(str(tmp_path / "ck"), trainer.params, trainer.opt_state, cfg, epoch=0)
+    params2, opt_state2, cfg_dict, epoch = load_checkpoint(str(tmp_path / "ck"))
+    assert epoch == 0
+    assert cfg_dict["hidden_size"] == 32
+    flat1 = jax.tree_util.tree_leaves(trainer.params)
+    flat2 = jax.tree_util.tree_leaves(params2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

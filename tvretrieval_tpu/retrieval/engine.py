@@ -1,0 +1,228 @@
+"""Whole-corpus VCMR / SVMR / VR inference engine.
+
+The reference pipeline (inference.py:32-445) encodes the corpus once, then
+per query batch: scores every video, tops-k videos, builds the (st, ed)
+joint score tensor, and finishes with host-side flat sorts + unravel_index.
+Here the entire scoring path is ONE jitted program per query batch
+(static shapes, MXU matmuls, on-device lax.top_k); the host only maps
+meta indices to video ids and formats prediction JSON.
+
+Pipeline per query batch (mirrors reference semantics exactly):
+  1. q2c = mean of per-stream max-over-clips cosine scores  (model_xml.py:436)
+  2. q2c_exp = exp(alpha * q2c)                             (inference.py:317)
+  3. st/ed logits for every (query, video) via ConvSE        (model_xml.py:463-497)
+  4. per-(q,v) softmax over clips                            (inference.py:321-322)
+  5. top max_vcmr_video videos by q2c_exp                    (inference.py:348)
+  6. joint[q,v,m,n] = st[m] * q2c_exp[v] * ed[n], masked to
+     min/max span lengths                                    (inference.py:370-374)
+  7. flat top max_before_nms spans per query                 (inference.py:378-386)
+  8. SVMR: same joint for the GT video only                  (inference.py:195-241)
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvretrieval_tpu.data.datasets import CorpusIndex, ExampleBuilder
+from tvretrieval_tpu.models.xml import XML, cosine_video_scores
+from tvretrieval_tpu.ops.span import flat_topk_spans, min_max_length_mask, top_spans_from_probs
+
+
+@dataclass(frozen=True)
+class RetrievalConfig:
+    """Inference knobs (reference config.py defaults in parens)."""
+
+    q2c_alpha: float = 20.0          # (162)
+    min_pred_l: int = 2              # (154)
+    max_pred_l: int = 16             # (158)
+    max_before_nms: int = 200        # (167)
+    max_vcmr_video: int = 100        # (168)
+    query_bsz: int = 50              # eval_query_bsz (61)
+    context_bsz: int = 200           # eval_context_bsz (63)
+    clip_length: float = 1.5
+    cache_dtype_str: str = "float32"  # corpus cache dtype ("bfloat16" to halve HBM)
+
+    @property
+    def cache_dtype(self):
+        return jnp.bfloat16 if self.cache_dtype_str == "bfloat16" else jnp.float32
+
+
+@dataclass
+class CorpusCache:
+    """Device-resident encoded corpus (feat1 = retrieval stream, feat2 =
+    localization stream; reference compute_context_info, inference.py:32-97)."""
+
+    video_feat1: Optional[jnp.ndarray]   # (Nv, L, D)
+    video_feat2: Optional[jnp.ndarray]
+    sub_feat1: Optional[jnp.ndarray]
+    sub_feat2: Optional[jnp.ndarray]
+    mask: jnp.ndarray                    # (Nv, L)
+    n_videos: int                        # true count (<= padded Nv)
+    metas: List[dict]                    # per-video {vid_name, duration}
+
+
+def encode_corpus(model: XML, variables, builder: ExampleBuilder,
+                  corpus: CorpusIndex, cfg: RetrievalConfig) -> CorpusCache:
+    """Encode every corpus video once with the context encoders."""
+
+    @jax.jit
+    def _encode(vars_, video_feat, video_mask, sub_feat, sub_mask):
+        vf1, vf2, sf1, sf2 = model.apply(
+            vars_, video_feat, video_mask, sub_feat, sub_mask,
+            method=XML.encode_context)
+        dt = cfg.cache_dtype
+        cast = lambda x: None if x is None else x.astype(dt)
+        return cast(vf1), cast(vf2), cast(sf1), cast(sf2)
+
+    n = len(corpus)
+    bsz = min(cfg.context_bsz, n)
+    chunks = {"vf1": [], "vf2": [], "sf1": [], "sf2": [], "mask": []}
+    for i in range(0, n, bsz):
+        names = corpus.vid_names[i:i + bsz]
+        durs = corpus.durations[i:i + bsz]
+        pad = bsz - len(names)
+        if pad:  # static batch shape: repeat last video, sliced off below
+            names = names + [names[-1]] * pad
+            durs = durs + [durs[-1]] * pad
+        batch = builder.build_context_batch(names, durs)
+        vf1, vf2, sf1, sf2 = _encode(
+            variables,
+            jnp.asarray(batch.video_feat), jnp.asarray(batch.video_mask),
+            jnp.asarray(batch.sub_feat), jnp.asarray(batch.sub_mask))
+        keep = bsz - pad
+        if vf1 is not None:
+            chunks["vf1"].append(vf1[:keep])
+            chunks["vf2"].append(vf2[:keep])
+        if sf1 is not None:
+            chunks["sf1"].append(sf1[:keep])
+            chunks["sf2"].append(sf2[:keep])
+        chunks["mask"].append(jnp.asarray(batch.video_mask)[:keep])
+
+    cat = lambda key: jnp.concatenate(chunks[key], axis=0) if chunks[key] else None
+    return CorpusCache(
+        video_feat1=cat("vf1"), video_feat2=cat("vf2"),
+        sub_feat1=cat("sf1"), sub_feat2=cat("sf2"),
+        mask=cat("mask"), n_videos=n,
+        metas=[{"vid_name": v, "duration": d}
+               for v, d in zip(corpus.vid_names, corpus.durations)],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "do_svmr"))
+def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
+                       query_feat, query_mask,
+                       video_feat1, video_feat2, sub_feat1, sub_feat2,
+                       ctx_mask, gt_meta_idx, do_svmr: bool):
+    """One fused device program scoring a query batch against the corpus."""
+    f32 = jnp.float32
+    up = lambda x: None if x is None else x.astype(f32)
+    q2c, st_logits, ed_logits = model.apply(
+        variables, query_feat, query_mask,
+        up(video_feat1), up(video_feat2), ctx_mask,
+        up(sub_feat1), up(sub_feat2), ctx_mask,
+        True, method=XML.get_pred_from_raw_query)              # (Nq,Nv), (Nq,Nv,L)
+
+    q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
+    st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)  # (Nq, Nv, L)
+    ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
+
+    L = st_probs.shape[-1]
+    length_mask = jnp.asarray(min_max_length_mask(L, cfg.min_pred_l, cfg.max_pred_l))
+
+    # VR / VCMR: top videos
+    topv_scores, topv_idx = jax.lax.top_k(q2c_exp, cfg.max_vcmr_video)  # (Nq, V)
+    st_top = jnp.take_along_axis(st_probs, topv_idx[:, :, None], axis=1)  # (Nq, V, L)
+    ed_top = jnp.take_along_axis(ed_probs, topv_idx[:, :, None], axis=1)
+    joint = (st_top[:, :, :, None] * ed_top[:, :, None, :]
+             * topv_scores[:, :, None, None] * length_mask[None, None])
+    vcmr_vid_local, vcmr_st, vcmr_ed, vcmr_scores = flat_topk_spans(
+        joint, cfg.max_before_nms)
+
+    out = dict(
+        topv_scores=topv_scores, topv_idx=topv_idx,
+        vcmr_vid_local=vcmr_vid_local, vcmr_st=vcmr_st, vcmr_ed=vcmr_ed,
+        vcmr_scores=vcmr_scores,
+    )
+    if do_svmr:
+        take_gt = lambda p: jnp.take_along_axis(
+            p, gt_meta_idx[:, None, None], axis=1)[:, 0]       # (Nq, L)
+        svmr_st, svmr_ed, svmr_scores = top_spans_from_probs(
+            take_gt(st_probs), take_gt(ed_probs), length_mask, cfg.max_before_nms)
+        out.update(svmr_st=svmr_st, svmr_ed=svmr_ed, svmr_scores=svmr_scores)
+    return out
+
+
+def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
+             query_rows: List[dict], corpus: CorpusIndex, cfg: RetrievalConfig,
+             tasks: Sequence[str] = ("VCMR", "SVMR", "VR")) -> Dict[str, list]:
+    """Score all queries against the cached corpus; return submission dict
+    entries per task (reference compute_query2ctx_info, inference.py:252-445)."""
+    do_svmr = "SVMR" in tasks
+    vid2meta = {m["vid_name"]: i for i, m in enumerate(cache.metas)}
+    meta_video_idx = np.asarray(
+        [corpus.video2idx[m["vid_name"]] for m in cache.metas], dtype=np.int64)
+
+    n_q = len(query_rows)
+    bsz = min(cfg.query_bsz, n_q)
+    collected = []
+    for i in range(0, n_q, bsz):
+        rows = query_rows[i:i + bsz]
+        pad = bsz - len(rows)
+        if pad:
+            rows = rows + [rows[-1]] * pad
+        qb = builder.build_query_batch(rows)
+        gt_idx = np.asarray(
+            [vid2meta.get(r.get("vid_name") or "", 0) for r in rows], dtype=np.int32)
+        out = _score_query_batch(
+            model, variables, cfg,
+            jnp.asarray(qb.query_feat), jnp.asarray(qb.query_mask),
+            cache.video_feat1, cache.video_feat2,
+            cache.sub_feat1, cache.sub_feat2,
+            cache.mask, jnp.asarray(gt_idx), do_svmr)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        keep = bsz - pad
+        collected.append({k: v[:keep] for k, v in out.items()})
+
+    res = {k: np.concatenate([c[k] for c in collected], axis=0) for k in collected[0]}
+    c = cfg.clip_length
+
+    vr_res, vcmr_res, svmr_res = [], [], []
+    # vectorized host-side conversion to seconds / video ids
+    topv_video_idx = meta_video_idx[res["topv_idx"]]                     # (Nq, V)
+    vcmr_meta_idx = np.take_along_axis(res["topv_idx"], res["vcmr_vid_local"], axis=1)
+    vcmr_video_idx = meta_video_idx[vcmr_meta_idx]                       # (Nq, 200)
+    vcmr_st_sec = res["vcmr_st"].astype(np.float64) * c
+    vcmr_ed_sec = (res["vcmr_ed"].astype(np.float64) + 1) * c
+
+    for qi, row in enumerate(query_rows):
+        head = dict(desc_id=row["desc_id"], desc=row.get("desc", ""))
+        if "VR" in tasks:
+            vr_res.append({**head, "predictions": [
+                [int(v), 0, 0, float(s)]
+                for v, s in zip(topv_video_idx[qi, :100], res["topv_scores"][qi, :100])]})
+        if "VCMR" in tasks:
+            vcmr_res.append({**head, "predictions": [
+                [int(v), float(st), float(ed), float(s)]
+                for v, st, ed, s in zip(vcmr_video_idx[qi], vcmr_st_sec[qi],
+                                        vcmr_ed_sec[qi], res["vcmr_scores"][qi])]})
+        if do_svmr:
+            vid_idx = corpus.video2idx[row["vid_name"]]
+            st_sec = res["svmr_st"][qi].astype(np.float64) * c
+            ed_sec = (res["svmr_ed"][qi].astype(np.float64) + 1) * c
+            svmr_res.append({**head, "predictions": [
+                [vid_idx, float(st), float(ed), float(s)]
+                for st, ed, s in zip(st_sec, ed_sec, res["svmr_scores"][qi])]})
+
+    out = {}
+    if vcmr_res:
+        out["VCMR"] = vcmr_res
+    if svmr_res:
+        out["SVMR"] = svmr_res
+    if vr_res:
+        out["VR"] = vr_res
+    return out

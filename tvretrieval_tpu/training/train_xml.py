@@ -1,0 +1,313 @@
+"""XML training driver (CLI).
+
+Mirrors the reference driver's lifecycle (train.py:250-376): build datasets,
+train with per-epoch eval-loss + retrieval-metric evaluation, early-stop on
+the stop-task metric, keep the best checkpoint + best prediction files, then
+run full inference with NMS at the end.
+
+Usage (synthetic smoke):
+    python -m tvretrieval_tpu.training.train_xml --synthetic --exp_id demo \
+        --n_epoch 3 --bsz 16 --results_root /tmp/results
+
+Real data: pass --train_path/--eval_path jsonl annotations, h5 feature paths
+and --video_duration_idx_path like the reference scripts/train.sh.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train XML (TPU-native)")
+    # experiment
+    p.add_argument("--dset_name", type=str, default="tvr")
+    p.add_argument("--eval_split_name", type=str, default="val")
+    p.add_argument("--results_root", type=str, default="results")
+    p.add_argument("--exp_id", type=str, default=None)
+    p.add_argument("--seed", type=int, default=2018)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--data_ratio", type=float, default=1.0)
+    # data
+    p.add_argument("--synthetic", action="store_true",
+                   help="use a synthetic TVR-shaped world (no h5 needed)")
+    p.add_argument("--synthetic_videos", type=int, default=64)
+    p.add_argument("--synthetic_queries", type=int, default=256)
+    p.add_argument("--train_path", type=str, default=None)
+    p.add_argument("--eval_path", type=str, default=None)
+    p.add_argument("--desc_bert_path", type=str, default=None)
+    p.add_argument("--sub_bert_path", type=str, default=None)
+    p.add_argument("--vid_feat_path", type=str, default=None)
+    p.add_argument("--video_duration_idx_path", type=str, default=None)
+    p.add_argument("--ctx_mode", type=str, default="video_sub_tef")
+    p.add_argument("--clip_length", type=float, default=1.5)
+    p.add_argument("--max_desc_l", type=int, default=30)
+    p.add_argument("--max_ctx_l", type=int, default=100)
+    p.add_argument("--no_norm_vfeat", action="store_true")
+    p.add_argument("--no_norm_tfeat", action="store_true")
+    p.add_argument("--h5_preload", action="store_true",
+                   help="load h5 features fully into RAM (reference 'core' driver)")
+    # model
+    p.add_argument("--hidden_size", type=int, default=256)
+    p.add_argument("--n_heads", type=int, default=4)
+    p.add_argument("--conv_kernel_size", type=int, default=5)
+    p.add_argument("--input_drop", type=float, default=0.1)
+    p.add_argument("--drop", type=float, default=0.1)
+    p.add_argument("--margin", type=float, default=0.1)
+    p.add_argument("--ranking_loss_type", type=str, default="hinge", choices=["hinge", "lse"])
+    p.add_argument("--encoder_type", type=str, default="transformer", choices=["transformer", "cnn"])
+    p.add_argument("--span_predictor_type", type=str, default="conv", choices=["conv", "cat_linear"])
+    p.add_argument("--no_merge_two_stream", action="store_true")
+    p.add_argument("--no_cross_att", action="store_true")
+    p.add_argument("--no_modular", action="store_true")
+    p.add_argument("--compute_dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    # optimization
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_warmup_proportion", type=float, default=0.01)
+    p.add_argument("--wd", type=float, default=0.01)
+    p.add_argument("--n_epoch", type=int, default=100)
+    p.add_argument("--bsz", type=int, default=128)
+    p.add_argument("--max_es_cnt", type=int, default=10)
+    p.add_argument("--lw_st_ed", type=float, default=0.01)
+    p.add_argument("--lw_neg_q", type=float, default=1.0)
+    p.add_argument("--lw_neg_ctx", type=float, default=1.0)
+    p.add_argument("--train_span_start_epoch", type=int, default=0)
+    p.add_argument("--hard_negtiave_start_epoch", type=int, default=20)
+    p.add_argument("--hard_pool_size", type=int, default=20)
+    # eval / inference
+    p.add_argument("--stop_task", type=str, default="VCMR", choices=["VCMR", "SVMR", "VR"])
+    p.add_argument("--eval_tasks_at_training", type=str, nargs="+",
+                   default=["VCMR", "SVMR", "VR"])
+    p.add_argument("--eval_query_bsz", type=int, default=50)
+    p.add_argument("--eval_context_bsz", type=int, default=200)
+    p.add_argument("--q2c_alpha", type=float, default=20.0)
+    p.add_argument("--min_pred_l", type=int, default=2)
+    p.add_argument("--max_pred_l", type=int, default=16)
+    p.add_argument("--max_before_nms", type=int, default=200)
+    p.add_argument("--max_vcmr_video", type=int, default=100)
+    p.add_argument("--nms_thd", type=float, default=-1.0)
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="limit the data-parallel mesh to this many devices")
+    return p
+
+
+def setup_world(args):
+    """Returns (train_rows, eval_rows, builder, corpus)."""
+    from tvretrieval_tpu.data.datasets import CorpusIndex, ExampleBuilder, load_annotations
+    from tvretrieval_tpu.data.features import H5FeatureSource
+
+    if args.synthetic:
+        from tvretrieval_tpu.data.synthetic import make_synthetic_world
+        world = make_synthetic_world(
+            n_videos=args.synthetic_videos, n_queries=args.synthetic_queries,
+            clip_length=args.clip_length, seed=args.seed)
+        n_train = int(len(world.annotations) * 0.75)
+        train_rows = world.annotations[:n_train]
+        eval_rows = world.annotations[n_train:]
+        builder = ExampleBuilder(
+            query_source=world.query_source,
+            video_source=world.video_source if "video" in args.ctx_mode else None,
+            sub_source=world.sub_source if "sub" in args.ctx_mode else None,
+            ctx_mode=args.ctx_mode, max_desc_l=args.max_desc_l,
+            max_ctx_l=args.max_ctx_l, clip_length=args.clip_length,
+            normalize_vfeat=not args.no_norm_vfeat,
+            normalize_tfeat=not args.no_norm_tfeat)
+        return train_rows, eval_rows, builder, world.corpus
+
+    assert args.train_path and args.desc_bert_path and args.video_duration_idx_path, \
+        "real-data mode needs --train_path --desc_bert_path --video_duration_idx_path"
+    train_rows = load_annotations(args.train_path, args.data_ratio)
+    eval_rows = load_annotations(args.eval_path, args.data_ratio) if args.eval_path else []
+    builder = ExampleBuilder(
+        query_source=H5FeatureSource(args.desc_bert_path, preload=args.h5_preload),
+        video_source=(H5FeatureSource(args.vid_feat_path, preload=args.h5_preload)
+                      if "video" in args.ctx_mode else None),
+        sub_source=(H5FeatureSource(args.sub_bert_path, preload=args.h5_preload)
+                    if "sub" in args.ctx_mode else None),
+        ctx_mode=args.ctx_mode, max_desc_l=args.max_desc_l,
+        max_ctx_l=args.max_ctx_l, clip_length=args.clip_length,
+        normalize_vfeat=not args.no_norm_vfeat,
+        normalize_tfeat=not args.no_norm_tfeat)
+    corpus = CorpusIndex.from_video_duration_idx(
+        args.video_duration_idx_path, args.eval_split_name)
+    return train_rows, eval_rows, builder, corpus
+
+
+def evaluate_retrieval(trainer, builder, corpus, eval_rows, args, tasks,
+                       results_dir: str, tag: str, apply_nms: bool = False):
+    """Corpus inference + metrics; returns (metrics, metrics_nms, file_paths)."""
+    from tvretrieval_tpu.evaluation.metrics import eval_retrieval
+    from tvretrieval_tpu.evaluation.nms import POST_PROCESSING_NMS_FUNC
+    from tvretrieval_tpu.evaluation.submission import submission_top_n
+    from tvretrieval_tpu.retrieval.engine import RetrievalConfig, encode_corpus, retrieve
+    from tvretrieval_tpu.utils.io import save_json
+
+    rcfg = RetrievalConfig(
+        q2c_alpha=args.q2c_alpha, min_pred_l=args.min_pred_l,
+        max_pred_l=args.max_pred_l, max_before_nms=args.max_before_nms,
+        max_vcmr_video=min(args.max_vcmr_video, len(corpus)),
+        query_bsz=args.eval_query_bsz,
+        context_bsz=args.eval_context_bsz, clip_length=args.clip_length)
+    cache = encode_corpus(trainer.model, trainer.variables(), builder, corpus, rcfg)
+    raw = retrieve(trainer.model, trainer.variables(), builder, cache,
+                   eval_rows, corpus, rcfg, tasks=tasks)
+    raw["video2idx"] = corpus.video2idx
+
+    submission = submission_top_n(raw, top_n=100)
+    sub_path = os.path.join(results_dir, f"{tag}_predictions.json")
+    save_json(submission, sub_path)
+    metrics = eval_retrieval(submission, eval_rows,
+                             use_desc_type=args.dset_name == "tvr")
+    save_json(metrics, sub_path.replace(".json", "_metrics.json"), pretty=True)
+    paths = [sub_path, sub_path.replace(".json", "_metrics.json")]
+
+    metrics_nms = None
+    if apply_nms and args.nms_thd != -1:
+        after = {"video2idx": raw["video2idx"]}
+        for task, fn in POST_PROCESSING_NMS_FUNC.items():
+            if task in raw:
+                after[task] = fn(raw[task], nms_thd=args.nms_thd,
+                                 max_before_nms=args.max_before_nms,
+                                 max_after_nms=100)
+        nms_path = sub_path.replace(".json", f"_nms_thd_{args.nms_thd}.json")
+        save_json(after, nms_path)
+        metrics_nms = eval_retrieval(after, eval_rows,
+                                     use_desc_type=args.dset_name == "tvr")
+        save_json(metrics_nms, nms_path.replace(".json", "_metrics.json"), pretty=True)
+        paths += [nms_path, nms_path.replace(".json", "_metrics.json")]
+    return metrics, metrics_nms, paths
+
+
+def start_training(argv: Optional[List[str]] = None) -> dict:
+    from tvretrieval_tpu.models.xml import XMLConfig
+    from tvretrieval_tpu.parallel.mesh import make_mesh
+    from tvretrieval_tpu.training.checkpoint import save_checkpoint
+    from tvretrieval_tpu.training.xml_trainer import TrainSettings, XMLTrainer
+    from tvretrieval_tpu.utils.io import save_json
+
+    logging.basicConfig(
+        format="%(asctime)s:%(levelname)s:%(name)s - %(message)s", level=logging.INFO)
+    args = build_arg_parser().parse_args(argv)
+    if args.debug:
+        args.n_epoch = min(args.n_epoch, 1)
+
+    exp_id = args.exp_id or time.strftime("%Y%m%d_%H%M%S")
+    results_dir = os.path.join(args.results_root, f"{args.dset_name}-{exp_id}")
+    os.makedirs(results_dir, exist_ok=True)
+    save_json(vars(args), os.path.join(results_dir, "opt.json"), pretty=True)
+
+    train_rows, eval_rows, builder, corpus = setup_world(args)
+    logger.info("train=%d eval=%d corpus=%d videos",
+                len(train_rows), len(eval_rows), len(corpus))
+
+    tef_dims = 2 * ("tef" in args.ctx_mode)
+    model_cfg = XMLConfig(
+        ctx_mode=args.ctx_mode.replace("_tef", "").replace("tef", "") or "video",
+        merge_two_stream=not args.no_merge_two_stream and
+            ("video" in args.ctx_mode and "sub" in args.ctx_mode),
+        cross_att=not args.no_cross_att and
+            ("video" in args.ctx_mode and "sub" in args.ctx_mode),
+        span_predictor_type=args.span_predictor_type,
+        encoder_type=args.encoder_type,
+        visual_input_size=(builder.video_source.dim + tef_dims
+                           if builder.use_video else 2),
+        sub_input_size=(builder.sub_source.dim + tef_dims
+                        if builder.use_sub else 2),
+        query_input_size=builder.query_source.dim,
+        hidden_size=args.hidden_size, n_heads=args.n_heads,
+        conv_kernel_size=args.conv_kernel_size,
+        max_ctx_l=args.max_ctx_l, max_desc_l=args.max_desc_l,
+        input_drop=args.input_drop, drop=args.drop, margin=args.margin,
+        ranking_loss_type=args.ranking_loss_type,
+        lw_neg_q=args.lw_neg_q, lw_neg_ctx=args.lw_neg_ctx,
+        no_modular=args.no_modular, dtype_str=args.compute_dtype)
+
+    settings = TrainSettings(
+        lr=args.lr, lr_warmup_proportion=args.lr_warmup_proportion, wd=args.wd,
+        n_epoch=args.n_epoch, bsz=args.bsz, max_es_cnt=args.max_es_cnt,
+        lw_st_ed=args.lw_st_ed, train_span_start_epoch=args.train_span_start_epoch,
+        hard_negative_start_epoch=args.hard_negtiave_start_epoch,
+        hard_pool_size=args.hard_pool_size, seed=args.seed,
+        eval_tasks=tuple(args.eval_tasks_at_training), stop_task=args.stop_task)
+
+    mesh = make_mesh(args.n_devices)
+    trainer = XMLTrainer(model_cfg, settings, builder, train_rows, mesh=mesh)
+    logger.info("mesh: %s devices; %d steps/epoch",
+                mesh.devices.size, trainer.steps_per_epoch)
+
+    train_log = open(os.path.join(results_dir, "train.log.txt"), "a")
+    eval_log = open(os.path.join(results_dir, "eval.log.txt"), "a")
+    prev_best = -1.0
+    es_cnt = 0
+    best_metrics = None
+    ckpt_dir = os.path.join(results_dir, "ckpt")
+
+    for epoch in range(args.n_epoch):
+        t0 = time.time()
+        losses = trainer.train_epoch(epoch)
+        train_log.write(f"[epoch {epoch}] "
+                        + " ".join(f"{k} {v:.4f}" for k, v in losses.items())
+                        + f" ({time.time() - t0:.1f}s)\n")
+        train_log.flush()
+        logger.info("epoch %d train loss %.4f (%.1fs)", epoch,
+                    losses["loss_overall"], time.time() - t0)
+
+        if not eval_rows:
+            save_checkpoint(ckpt_dir, trainer.params, trainer.opt_state,
+                            model_cfg, epoch)
+            continue
+
+        eval_losses = trainer.eval_loss_epoch(eval_rows, epoch)
+        metrics, _, latest_paths = evaluate_retrieval(
+            trainer, builder, corpus, eval_rows, args,
+            tasks=settings.eval_tasks, results_dir=results_dir, tag="latest")
+        eval_log.write(f"[epoch {epoch}] {json.dumps(metrics)}\n")
+        eval_log.flush()
+
+        stop_names = ["r1"] if args.stop_task == "VR" else ["0.5-r1", "0.7-r1"]
+        stop_score = sum(metrics[args.stop_task][k] for k in stop_names)
+        logger.info("epoch %d eval %s stop_score=%.3f (best %.3f)",
+                    epoch, args.stop_task, stop_score, prev_best)
+
+        if stop_score > prev_best:
+            prev_best = stop_score
+            es_cnt = 0
+            best_metrics = metrics
+            save_checkpoint(ckpt_dir, trainer.params, trainer.opt_state,
+                            model_cfg, epoch)
+            for src in latest_paths:
+                dst = src.replace("latest", "best")
+                os.replace(src, dst)
+        else:
+            es_cnt += 1
+            if args.max_es_cnt != -1 and es_cnt > args.max_es_cnt:
+                logger.info("early stop at epoch %d", epoch)
+                break
+
+    train_log.close()
+    eval_log.close()
+
+    # final inference with NMS (reference train.py:359-375 chains inference)
+    final_metrics = None
+    if eval_rows:
+        final_metrics, final_nms, _ = evaluate_retrieval(
+            trainer, builder, corpus, eval_rows, args,
+            tasks=settings.eval_tasks, results_dir=results_dir,
+            tag="inference", apply_nms=True)
+        logger.info("final metrics: %s",
+                    json.dumps({t: final_metrics[t] for t in settings.eval_tasks
+                                if t in final_metrics}))
+    return {"results_dir": results_dir, "best_metrics": best_metrics,
+            "final_metrics": final_metrics}
+
+
+if __name__ == "__main__":
+    start_training()

