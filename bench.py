@@ -1,0 +1,94 @@
+"""Headline benchmark: full-corpus VCMR retrieval throughput (queries/sec).
+
+Measures the reference's hot path (inference.py:252-386) end-to-end on one
+chip: encode query batch -> cosine video scores against ALL 21,818 videos ->
+exp(alpha) -> top-100 videos -> ConvSE span probabilities -> joint (st,ed)
+outer product under the min/max-length mask -> on-device top-200 spans.
+Corpus size matches the full TVR corpus (README.md:15: 21.8K videos,
+100 clips each, hidden 256, two streams x two layers).
+
+The corpus cache is synthesized directly at encoder-output shape (encoding
+is a one-time offline cost; the north star is per-query retrieval
+throughput — BASELINE.md "score the full 21.8K-video corpus per query").
+
+vs_baseline: the reference paper-scale GPU pipeline is estimated at
+~170 queries/sec on the same 21.8K corpus on its 1x RTX 2080Ti setup
+(TVR-paper-era retrieval timing scaled to corpus size; the repo publishes
+no throughput number — BASELINE.md). vs_baseline = measured_qps / 170.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_REF_QPS = 170.0
+N_VIDEOS = 21818
+N_CLIPS = 100
+HIDDEN = 256
+QUERY_BSZ = 50
+N_WARMUP = 2
+N_ITERS = 8
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tvretrieval_tpu.models.xml import XML, XMLConfig
+    from tvretrieval_tpu.retrieval.engine import RetrievalConfig, _score_query_batch
+
+    cfg = XMLConfig(
+        ctx_mode="video_sub", visual_input_size=3074, sub_input_size=770,
+        query_input_size=768, hidden_size=HIDDEN, n_heads=4,
+        max_ctx_l=N_CLIPS, max_desc_l=30)
+    model = XML(cfg)
+    rcfg = RetrievalConfig(cache_dtype_str="bfloat16")
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+
+    # init params with a tiny batch (shapes don't matter for param shapes)
+    dummy = dict(
+        query_feat=jnp.zeros((2, 30, 768)), query_mask=jnp.ones((2, 30)),
+        video_feat=jnp.zeros((2, N_CLIPS, 3074)), video_mask=jnp.ones((2, N_CLIPS)),
+        sub_feat=jnp.zeros((2, N_CLIPS, 770)), sub_mask=jnp.ones((2, N_CLIPS)),
+        st_ed_indices=jnp.zeros((2, 2), jnp.int32))
+    variables = model.init(
+        {"params": ks[0], "dropout": ks[1], "negatives": ks[2]},
+        **dummy, deterministic=True)
+
+    # synthetic encoded corpus cache, bf16 in HBM
+    shape = (N_VIDEOS, N_CLIPS, HIDDEN)
+    dt = rcfg.cache_dtype
+    cache = [jax.random.normal(k, shape, dtype=dt) for k in ks[3:7]]
+    mask = jnp.ones((N_VIDEOS, N_CLIPS), jnp.float32)
+
+    q_feat = jax.random.normal(ks[7], (QUERY_BSZ, 30, 768), jnp.float32)
+    q_mask = jnp.ones((QUERY_BSZ, 30), jnp.float32)
+    gt_idx = jnp.zeros((QUERY_BSZ,), jnp.int32)
+
+    def run():
+        out = _score_query_batch(
+            model, variables, rcfg, q_feat, q_mask,
+            cache[0], cache[1], cache[2], cache[3], mask, gt_idx, True)
+        jax.block_until_ready(out)
+        return out
+
+    for _ in range(N_WARMUP):
+        run()
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        run()
+    dt_s = time.perf_counter() - t0
+
+    qps = QUERY_BSZ * N_ITERS / dt_s
+    print(json.dumps({
+        "metric": f"vcmr_retrieval_throughput_{N_VIDEOS}videos",
+        "value": round(qps, 2),
+        "unit": "queries/sec",
+        "vs_baseline": round(qps / BASELINE_REF_QPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,7 +141,7 @@ def setup_world(args):
     return train_rows, eval_rows, builder, corpus
 
 
-def evaluate_retrieval(trainer, builder, corpus, eval_rows, args, tasks,
+def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks,
                        results_dir: str, tag: str, apply_nms: bool = False):
     """Corpus inference + metrics; returns (metrics, metrics_nms, file_paths)."""
     from tvretrieval_tpu.evaluation.metrics import eval_retrieval
@@ -156,8 +156,8 @@ def evaluate_retrieval(trainer, builder, corpus, eval_rows, args, tasks,
         max_vcmr_video=min(args.max_vcmr_video, len(corpus)),
         query_bsz=args.eval_query_bsz,
         context_bsz=args.eval_context_bsz, clip_length=args.clip_length)
-    cache = encode_corpus(trainer.model, trainer.variables(), builder, corpus, rcfg)
-    raw = retrieve(trainer.model, trainer.variables(), builder, cache,
+    cache = encode_corpus(model, variables, builder, corpus, rcfg)
+    raw = retrieve(model, variables, builder, cache,
                    eval_rows, corpus, rcfg, tasks=tasks)
     raw["video2idx"] = corpus.video2idx
 
@@ -267,7 +267,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
 
         eval_losses = trainer.eval_loss_epoch(eval_rows, epoch)
         metrics, _, latest_paths = evaluate_retrieval(
-            trainer, builder, corpus, eval_rows, args,
+            trainer.model, trainer.variables(), builder, corpus, eval_rows, args,
             tasks=settings.eval_tasks, results_dir=results_dir, tag="latest")
         eval_log.write(f"[epoch {epoch}] {json.dumps(metrics)}\n")
         eval_log.flush()
@@ -299,7 +299,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     final_metrics = None
     if eval_rows:
         final_metrics, final_nms, _ = evaluate_retrieval(
-            trainer, builder, corpus, eval_rows, args,
+            trainer.model, trainer.variables(), builder, corpus, eval_rows, args,
             tasks=settings.eval_tasks, results_dir=results_dir,
             tag="inference", apply_nms=True)
         logger.info("final metrics: %s",
