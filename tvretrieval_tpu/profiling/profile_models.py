@@ -1,0 +1,172 @@
+"""Per-stage wall-clock profiling on fake tensors + corpus-scale extrapolation.
+
+Capability parity with reference baselines/profiling/profile_main.py (stage
+timers with device sync + 1M-video extrapolation, :35-483) and
+search_time_performance.py's storage-size calculator (:230-241). On TPU the
+sync fence is a forced device->host transfer of one output element (the
+remote-execution relay makes ``block_until_ready`` unreliable as a fence —
+see bench.py), and ``jax.profiler.trace`` can capture a full XLA trace.
+
+CLI:
+    python -m tvretrieval_tpu.profiling.profile_models --n_videos 2000 \
+        --extrapolate_videos 1000000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x) -> None:
+    """Fence: force one element to the host."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    _ = np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
+def time_stage(fn: Callable, n_warmup: int = 2, n_runs: int = 5) -> float:
+    """Median wall-clock seconds of fn() with a device fence per run."""
+    for _ in range(n_warmup):
+        _sync(fn())
+    times = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        _sync(fn())
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def index_storage_gb(hsz: int, n_videos: int, n_clips_per_video: int,
+                     n_moments: int = 0, n_total_clips_in_moments: int = 0,
+                     dtype_size: int = 4) -> Dict[str, float]:
+    """Index sizes per model family (reference search_time_performance.py:230-241).
+    XML stores 2 streams x 2 layers of clip features."""
+    GB = 1024 ** 3
+    return dict(
+        mee=n_videos * hsz * dtype_size * 2.0 / GB,
+        cal=n_total_clips_in_moments * hsz * dtype_size * 2.0 / GB,
+        mcn=n_moments * hsz * dtype_size * 2.0 / GB,
+        xml=n_videos * n_clips_per_video * hsz * dtype_size * 2.0 * 2.0 / GB,
+    )
+
+
+class ProfileXML:
+    """Stage timings of the XML corpus-retrieval path on fake tensors."""
+
+    def __init__(self, n_videos: int = 2000, n_clips: int = 100,
+                 hidden: int = 256, query_bsz: int = 50,
+                 visual_dim: int = 3074, sub_dim: int = 770,
+                 query_dim: int = 768, cache_dtype: str = "bfloat16"):
+        from tvretrieval_tpu.models.xml import XML, XMLConfig
+        from tvretrieval_tpu.retrieval.engine import RetrievalConfig, _score_query_batch
+
+        self.n_videos = n_videos
+        self.query_bsz = query_bsz
+        cfg = XMLConfig(ctx_mode="video_sub", visual_input_size=visual_dim,
+                        sub_input_size=sub_dim, query_input_size=query_dim,
+                        hidden_size=hidden, n_heads=4, max_ctx_l=n_clips,
+                        max_desc_l=30)
+        self.model = XML(cfg)
+        self.rcfg = RetrievalConfig(cache_dtype_str=cache_dtype,
+                                    max_vcmr_video=min(100, n_videos))
+        ks = jax.random.split(jax.random.PRNGKey(0), 10)
+        dummy = dict(
+            query_feat=jnp.zeros((2, 30, query_dim)), query_mask=jnp.ones((2, 30)),
+            video_feat=jnp.zeros((2, n_clips, visual_dim)),
+            video_mask=jnp.ones((2, n_clips)),
+            sub_feat=jnp.zeros((2, n_clips, sub_dim)),
+            sub_mask=jnp.ones((2, n_clips)),
+            st_ed_indices=jnp.zeros((2, 2), jnp.int32))
+        self.variables = self.model.init(
+            {"params": ks[0], "dropout": ks[1], "negatives": ks[2]},
+            **dummy, deterministic=True)
+
+        dt = self.rcfg.cache_dtype
+        self.cache = [jax.random.normal(k, (n_videos, n_clips, hidden), dtype=dt)
+                      for k in ks[3:7]]
+        self.mask = jnp.ones((n_videos, n_clips), jnp.float32)
+        self.ctx_batch = dict(
+            video_feat=jax.random.normal(ks[7], (self.rcfg.context_bsz, n_clips,
+                                                 visual_dim), jnp.float32),
+            video_mask=jnp.ones((self.rcfg.context_bsz, n_clips)),
+            sub_feat=jax.random.normal(ks[8], (self.rcfg.context_bsz, n_clips,
+                                               sub_dim), jnp.float32),
+            sub_mask=jnp.ones((self.rcfg.context_bsz, n_clips)))
+        self.q_feat = jax.random.normal(ks[9], (query_bsz, 30, query_dim),
+                                        jnp.float32)
+        self.q_mask = jnp.ones((query_bsz, 30), jnp.float32)
+        self.gt = jnp.zeros((query_bsz,), jnp.int32)
+        self._score = _score_query_batch
+
+    def profile(self, extrapolate_videos: Optional[int] = None,
+                n_queries: int = 10000) -> Dict[str, float]:
+        from tvretrieval_tpu.models.xml import XML
+
+        model, variables = self.model, self.variables
+
+        @jax.jit
+        def encode_ctx(vars_, b):
+            return model.apply(vars_, b["video_feat"], b["video_mask"],
+                               b["sub_feat"], b["sub_mask"],
+                               method=XML.encode_context)
+
+        @jax.jit
+        def encode_q(vars_, qf, qm):
+            return model.apply(vars_, qf, qm, method=XML.encode_query)
+
+        results: Dict[str, float] = {}
+        results["encode_context_batch_s"] = time_stage(
+            lambda: encode_ctx(variables, self.ctx_batch))
+        results["encode_query_batch_s"] = time_stage(
+            lambda: encode_q(variables, self.q_feat, self.q_mask))
+        results["score_query_batch_s"] = time_stage(
+            lambda: self._score(model, variables, self.rcfg, self.q_feat,
+                                self.q_mask, *self.cache, self.mask, self.gt,
+                                True))
+
+        ctx_bsz = self.ctx_batch["video_mask"].shape[0]
+        results["corpus_encode_total_s"] = (
+            results["encode_context_batch_s"] * self.n_videos / ctx_bsz)
+        results["retrieval_queries_per_sec"] = (
+            self.query_bsz / results["score_query_batch_s"])
+        if extrapolate_videos:
+            scale = extrapolate_videos / self.n_videos
+            results[f"extrapolated_{extrapolate_videos}v_retrieval_s_per_query"] = (
+                results["score_query_batch_s"] * scale / self.query_bsz)
+            results[f"extrapolated_{extrapolate_videos}v_encode_total_s"] = (
+                results["corpus_encode_total_s"] * scale)
+        return results
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="XML stage profiler")
+    parser.add_argument("--n_videos", type=int, default=2000)
+    parser.add_argument("--n_clips", type=int, default=100)
+    parser.add_argument("--hidden", type=int, default=256)
+    parser.add_argument("--query_bsz", type=int, default=50)
+    parser.add_argument("--extrapolate_videos", type=int, default=1000000)
+    parser.add_argument("--trace_dir", type=str, default=None,
+                        help="write a jax.profiler trace here")
+    args = parser.parse_args(argv)
+
+    prof = ProfileXML(n_videos=args.n_videos, n_clips=args.n_clips,
+                      hidden=args.hidden, query_bsz=args.query_bsz)
+    if args.trace_dir:
+        with jax.profiler.trace(args.trace_dir):
+            results = prof.profile(args.extrapolate_videos)
+    else:
+        results = prof.profile(args.extrapolate_videos)
+    results["storage_gb"] = index_storage_gb(
+        args.hidden, args.extrapolate_videos, 20,
+        n_moments=170_000_000, n_total_clips_in_moments=1_170_946_944)
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()

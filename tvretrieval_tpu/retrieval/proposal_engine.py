@@ -1,0 +1,186 @@
+"""CAL/MCN proposal-based corpus retrieval engine.
+
+Reference: clip_alignment_with_language/inference.py:52-185 + 377-500. The
+reference Python-loops over 21.8K videos encoding proposals and computing
+cdist per video (the profiled hot spot, SURVEY.md §3E). TPU re-design:
+
+  * a proposal's mean squared-L2 distance decomposes as
+        mean_c ||q - m_c||^2 = |q|^2 - 2 q . mean_c(m_c) + mean_c(|m_c|^2)
+    so per proposal we cache only (mean_embedding, mean_sqnorm): the whole
+    corpus collapses to a (N_videos * max_props, D_o) matrix and query
+    scoring is ONE MXU matmul + rank-1 terms, instead of 21.8K host-loop
+    cdist calls.
+  * proposals are generated host-side per video (cached by duration) and
+    padded to a static max_props; padded slots get +1e10 distance.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvretrieval_tpu.data.datasets import CorpusIndex
+from tvretrieval_tpu.data.proposals import get_proposal_interface
+from tvretrieval_tpu.data.retrieval_datasets import CALExampleBuilder
+from tvretrieval_tpu.models.cal import CALWithSub
+
+
+@dataclass
+class ProposalCorpusCache:
+    mean_emb_video: Optional[jnp.ndarray]   # (Nv, P, Do)
+    mean_sq_video: Optional[jnp.ndarray]    # (Nv, P)
+    mean_emb_sub: Optional[jnp.ndarray]
+    mean_sq_sub: Optional[jnp.ndarray]
+    prop_mask: jnp.ndarray                  # (Nv, P)
+    prop_spans: np.ndarray                  # (Nv, P, 2) seconds, host-side
+    n_videos: int
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _encode_proposal_batch(model: CALWithSub, variables, vfeat, sfeat, cmask):
+    """vfeat/sfeat: (B, P, C, D); cmask: (B, P, C) ->
+    per-stream (mean_emb (B,P,Do), mean_sq (B,P))."""
+    c = model.cfg
+
+    def one(feat, stream):
+        emb = model.apply(variables, feat, stream, method=CALWithSub.encode_moments)
+        denom = jnp.maximum(cmask.sum(-1), 1.0)                  # (B, P)
+        mean_emb = (emb * cmask[..., None]).sum(-2) / denom[..., None]
+        mean_sq = (jnp.sum(emb ** 2, -1) * cmask).sum(-1) / denom
+        return mean_emb, mean_sq
+
+    ev = one(vfeat, "video") if (c.use_video or c.use_tef_only) else (None, None)
+    es = one(sfeat, "sub") if c.use_sub else (None, None)
+    return ev[0], ev[1], es[0], es[1]
+
+
+@functools.partial(jax.jit, static_argnames=("model", "topk"))
+def _score_proposals(model: CALWithSub, variables, query_feat, query_mask,
+                     cache_tuple, topk: int):
+    """Top-k smallest distances over all (video, proposal) pairs."""
+    mean_v, sq_v, mean_s, sq_s, prop_mask = cache_tuple
+    q = model.apply(variables, query_feat, query_mask,
+                    method=CALWithSub.encode_query)              # (Nq, Do)
+    c = model.cfg
+    n_streams = int(c.use_video or c.use_tef_only) + int(c.use_sub)
+
+    def dist(mean_emb, mean_sq):
+        nv, p, do = mean_emb.shape
+        flat = mean_emb.reshape(nv * p, do)
+        qsq = jnp.sum(q ** 2, -1)[:, None]
+        d = qsq - 2 * jnp.einsum("qd,pd->qp", q, flat,
+                                 preferred_element_type=jnp.float32) \
+            + mean_sq.reshape(-1)[None]
+        return d                                                  # (Nq, Nv*P)
+
+    d = 0
+    if c.use_video or c.use_tef_only:
+        d = d + dist(mean_v, sq_v)
+    if c.use_sub:
+        d = d + dist(mean_s, sq_s)
+    d = d / n_streams
+    d = d + (1.0 - prop_mask.reshape(-1)[None]) * 1e10            # mask pads
+    neg_top, idx = jax.lax.top_k(-d, topk)
+    return -neg_top, idx, d
+
+
+def encode_proposal_corpus(model: CALWithSub, variables,
+                           builder: CALExampleBuilder, corpus: CorpusIndex,
+                           dset_name: str = "tvr", max_props: Optional[int] = None,
+                           ctx_bsz: int = 32) -> ProposalCorpusCache:
+    proposer = get_proposal_interface(dset_name)
+    all_props = [proposer(d) for d in corpus.durations]
+    P = max_props or max(len(p) for p in all_props)
+
+    spans = np.zeros((len(corpus), P, 2), np.float32)
+    mean_v, sq_v, mean_s, sq_s, masks = [], [], [], [], []
+    n = len(corpus)
+    bsz = min(ctx_bsz, n)
+    for i in range(0, n, bsz):
+        idxs = list(range(i, min(i + bsz, n)))
+        pad = bsz - len(idxs)
+        idxs = idxs + [idxs[-1]] * pad
+        vf, sf, cm, pm = [], [], [], []
+        for j in idxs:
+            props = all_props[j][:P]
+            spans[j, : len(props)] = props
+            v, s, c, p = builder.build_proposal_batch(
+                corpus.vid_names[j], corpus.durations[j], props, P)
+            vf.append(v); sf.append(s); cm.append(c); pm.append(p)
+        mv, qv, ms, qs = _encode_proposal_batch(
+            model, variables, jnp.asarray(np.stack(vf)),
+            jnp.asarray(np.stack(sf)), jnp.asarray(np.stack(cm)))
+        keep = bsz - pad
+        if mv is not None:
+            mean_v.append(mv[:keep]); sq_v.append(qv[:keep])
+        if ms is not None:
+            mean_s.append(ms[:keep]); sq_s.append(qs[:keep])
+        masks.append(jnp.asarray(np.stack(pm))[:keep])
+
+    cat = lambda xs: jnp.concatenate(xs) if xs else None
+    return ProposalCorpusCache(
+        mean_emb_video=cat(mean_v), mean_sq_video=cat(sq_v),
+        mean_emb_sub=cat(mean_s), mean_sq_sub=cat(sq_s),
+        prop_mask=jnp.concatenate(masks), prop_spans=spans, n_videos=n)
+
+
+def cal_retrieve(model: CALWithSub, variables, builder: CALExampleBuilder,
+                 cache: ProposalCorpusCache, corpus: CorpusIndex,
+                 query_rows: List[dict], tasks: Sequence[str] = ("VCMR", "SVMR"),
+                 query_bsz: int = 100, max_before_nms: int = 200) -> Dict[str, list]:
+    """VCMR: flat top-k smallest distance over (video, proposal); SVMR:
+    rank proposals of the GT video (reference :377-500). Scores reported as
+    negative distances (larger = better), like the reference."""
+    P = cache.prop_spans.shape[1]
+    meta_video_idx = np.asarray([corpus.video2idx[v] for v in corpus.vid_names])
+    vid2meta = {v: i for i, v in enumerate(corpus.vid_names)}
+    cache_tuple = (cache.mean_emb_video, cache.mean_sq_video,
+                   cache.mean_emb_sub, cache.mean_sq_sub, cache.prop_mask)
+
+    vcmr_res, svmr_res = [], []
+    bsz = min(query_bsz, len(query_rows))
+    topk = min(max_before_nms, cache.n_videos * P)
+    for i in range(0, len(query_rows), bsz):
+        rows = query_rows[i:i + bsz]
+        pad = bsz - len(rows)
+        qb = builder.build_query_batch(rows + [rows[-1]] * pad)
+        top_d, top_idx, full_d = _score_proposals(
+            model, variables, jnp.asarray(qb["query_feat"]),
+            jnp.asarray(qb["query_mask"]), cache_tuple, topk)
+        top_d = np.asarray(top_d)[: len(rows)]
+        top_idx = np.asarray(top_idx)[: len(rows)]
+        if "SVMR" in tasks:
+            full_d = np.asarray(full_d)[: len(rows)].reshape(len(rows), cache.n_videos, P)
+
+        for qi, row in enumerate(rows):
+            if "VCMR" in tasks:
+                v_meta = top_idx[qi] // P
+                p_idx = top_idx[qi] % P
+                preds = [[int(meta_video_idx[v]),
+                          float(cache.prop_spans[v, p, 0]),
+                          float(cache.prop_spans[v, p, 1]),
+                          float(-d)]
+                         for v, p, d in zip(v_meta, p_idx, top_d[qi])]
+                vcmr_res.append({"desc_id": row["desc_id"],
+                                 "desc": row.get("desc", ""), "predictions": preds})
+            if "SVMR" in tasks and row.get("vid_name") in vid2meta:
+                v = vid2meta[row["vid_name"]]
+                dists = full_d[qi, v]
+                order = np.argsort(dists)[:max_before_nms]
+                vid_idx = int(meta_video_idx[v])
+                preds = [[vid_idx, float(cache.prop_spans[v, p, 0]),
+                          float(cache.prop_spans[v, p, 1]), float(-dists[p])]
+                         for p in order]
+                svmr_res.append({"desc_id": row["desc_id"],
+                                 "desc": row.get("desc", ""), "predictions": preds})
+
+    out = {}
+    if vcmr_res:
+        out["VCMR"] = vcmr_res
+    if svmr_res:
+        out["SVMR"] = svmr_res
+    return out

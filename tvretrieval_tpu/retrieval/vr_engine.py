@@ -1,0 +1,83 @@
+"""MEE video-retrieval (VR) corpus engine.
+
+Reference: mixture_embedding_experts/inference.py:25-104 — encode every
+video once with the gated embedding units, pool + encode each query batch,
+score the full corpus with the MoE-fused similarity, top-k videos.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvretrieval_tpu.data.datasets import CorpusIndex
+from tvretrieval_tpu.data.retrieval_datasets import MEEExampleBuilder
+from tvretrieval_tpu.models.mee import MEE
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _encode_ctx(model: MEE, variables, video_feat, sub_feat):
+    return model.apply(variables, video_feat, sub_feat, False,
+                       method=MEE.encode_context)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "topk"))
+def _score_queries(model: MEE, variables, query_feat, enc_video, enc_sub,
+                   topk: int):
+    pooled = model.apply(variables, query_feat, False, method=MEE.pool_query)
+    scores = model.apply(variables, pooled, enc_video, enc_sub, False,
+                         method=MEE.scores)                    # (Nq, Nv)
+    top_scores, top_idx = jax.lax.top_k(scores.astype(jnp.float32), topk)
+    return top_scores, top_idx
+
+
+def mee_retrieve_vr(model: MEE, variables, builder: MEEExampleBuilder,
+                    corpus: CorpusIndex, query_rows: List[dict],
+                    ctx_bsz: int = 400, query_bsz: int = 100,
+                    topk: int = 100) -> Dict[str, list]:
+    """Returns {"VR": [...]} submission entries."""
+    topk = min(topk, len(corpus))
+    # encode corpus
+    enc_v, enc_s = [], []
+    n = len(corpus)
+    bsz = min(ctx_bsz, n)
+    for i in range(0, n, bsz):
+        names = corpus.vid_names[i:i + bsz]
+        pad = bsz - len(names)
+        if pad:
+            names = names + [names[-1]] * pad
+        batch = builder.build_context_batch(names)
+        ev, es = _encode_ctx(model, variables,
+                             jnp.asarray(batch["video_feat"]),
+                             jnp.asarray(batch["sub_feat"]))
+        keep = bsz - pad
+        if ev is not None:
+            enc_v.append(ev[:keep])
+        if es is not None:
+            enc_s.append(es[:keep])
+    enc_v = jnp.concatenate(enc_v) if enc_v else None
+    enc_s = jnp.concatenate(enc_s) if enc_s else None
+
+    meta_video_idx = np.asarray([corpus.video2idx[v] for v in corpus.vid_names])
+
+    vr_res = []
+    bsz = min(query_bsz, len(query_rows))
+    for i in range(0, len(query_rows), bsz):
+        rows = query_rows[i:i + bsz]
+        pad = bsz - len(rows)
+        qb = builder.build_query_batch(rows + [rows[-1]] * pad)
+        scores, idx = _score_queries(model, variables,
+                                     jnp.asarray(qb["query_feat"]),
+                                     enc_v, enc_s, topk)
+        scores = np.asarray(scores)[: len(rows)]
+        vid_idx = meta_video_idx[np.asarray(idx)[: len(rows)]]
+        for qi, row in enumerate(rows):
+            vr_res.append({
+                "desc_id": row["desc_id"], "desc": row.get("desc", ""),
+                "predictions": [[int(v), 0, 0, float(s)]
+                                for v, s in zip(vid_idx[qi], scores[qi])],
+            })
+    return {"VR": vr_res}
