@@ -31,15 +31,18 @@ def test_nms_suppresses_overlaps():
 
 def test_nms_differential_vs_reference(rng):
     ref = _load_reference_nms()
-    for _ in range(5):
-        n = int(rng.integers(2, 60))
-        sts = rng.uniform(0, 100, size=n)
-        preds = [[float(st), float(st + rng.uniform(1, 20)), float(rng.uniform())]
-                 for st in sts]
-        ours = temporal_nms([list(p) for p in preds], 0.6, max_after_nms=25)
-        theirs = ref.temporal_non_maximum_suppression(
-            [list(p) for p in preds], nms_threshold=0.6, max_after_nms=25)
-        np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs), rtol=1e-6)
+    for use_native in (False, True):
+        for _ in range(5):
+            n = int(rng.integers(2, 60))
+            sts = rng.uniform(0, 100, size=n)
+            preds = [[float(st), float(st + rng.uniform(1, 20)), float(rng.uniform())]
+                     for st in sts]
+            ours = temporal_nms([list(p) for p in preds], 0.6, max_after_nms=25,
+                                use_native=use_native)
+            theirs = ref.temporal_non_maximum_suppression(
+                [list(p) for p in preds], nms_threshold=0.6, max_after_nms=25)
+            np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs),
+                                       rtol=1e-5)
 
 
 def test_vcmr_nms_regroups_and_sorts():
@@ -50,6 +53,6 @@ def test_vcmr_nms_regroups_and_sorts():
         [1, 50.0, 60.0, 0.2],
     ]}
     out = apply_nms_to_vcmr([entry], nms_thd=0.5)[0]["predictions"]
-    assert out[0][:1] == [0] and out[0][3] == 0.9
-    assert out[1][:1] == [1] and out[1][3] == 0.85
+    assert out[0][0] == 0 and abs(out[0][3] - 0.9) < 1e-6
+    assert out[1][0] == 1 and abs(out[1][3] - 0.85) < 1e-6
     assert len(out) == 3  # one suppressed

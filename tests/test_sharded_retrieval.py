@@ -1,0 +1,94 @@
+"""Corpus-sharded retrieval must match the single-device engine (8 CPU devs)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvretrieval_tpu.data.datasets import ExampleBuilder
+from tvretrieval_tpu.data.synthetic import make_synthetic_world
+from tvretrieval_tpu.models.xml import XML, XMLConfig
+from tvretrieval_tpu.parallel.mesh import make_mesh
+from tvretrieval_tpu.parallel.sharded_retrieval import (
+    pad_videos_to_multiple, score_query_batch_sharded, shard_corpus_cache)
+from tvretrieval_tpu.retrieval.engine import (
+    RetrievalConfig, _score_query_batch, encode_corpus)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    world = make_synthetic_world(n_videos=19, n_queries=12, vid_dim=16,
+                                 text_dim=12, max_clips=12, seed=5)
+    builder = ExampleBuilder(
+        query_source=world.query_source, video_source=world.video_source,
+        sub_source=world.sub_source, ctx_mode="video_sub_tef",
+        max_desc_l=16, max_ctx_l=12, clip_length=world.clip_length)
+    cfg = XMLConfig(ctx_mode="video_sub", visual_input_size=18,
+                    sub_input_size=14, query_input_size=16, hidden_size=16,
+                    n_heads=4, max_ctx_l=12, max_desc_l=16)
+    model = XML(cfg)
+    qb = builder.build_train_batch(world.annotations[:6])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "negatives": jax.random.PRNGKey(2)},
+        **{k: jnp.asarray(v) for k, v in qb.model_inputs().items()},
+        deterministic=True)
+    rcfg = RetrievalConfig(max_vcmr_video=8, max_before_nms=40,
+                           min_pred_l=1, max_pred_l=8, context_bsz=8,
+                           query_bsz=6)
+    cache = encode_corpus(model, variables, builder, world.corpus, rcfg)
+    return world, builder, model, variables, rcfg, cache, qb
+
+
+def test_sharded_matches_single_device(setup):
+    world, builder, model, variables, rcfg, cache, qb = setup
+    mesh = make_mesh(8)
+
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(6) % len(world.corpus), jnp.int32)
+
+    ref = _score_query_batch(model, variables, rcfg, qf, qm,
+                             cache.video_feat1, cache.video_feat2,
+                             cache.sub_feat1, cache.sub_feat2,
+                             cache.mask, gt, True)
+
+    arrs, nv_pad = pad_videos_to_multiple(
+        [cache.video_feat1, cache.video_feat2, cache.sub_feat1,
+         cache.sub_feat2, cache.mask], cache.n_videos, 8)
+    vf1, vf2, sf1, sf2, mask = [
+        jax.device_put(a, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))) for a in arrs]
+
+    out = score_query_batch_sharded(model, variables, rcfg, qf, qm,
+                                    vf1, vf2, sf1, sf2, mask, gt, True, mesh)
+
+    # top-V videos agree as sets, scores agree sorted
+    ref_scores = np.sort(np.asarray(ref["topv_scores"]), axis=1)[:, ::-1]
+    out_scores = np.sort(np.asarray(out["topv_scores"]), axis=1)[:, ::-1]
+    np.testing.assert_allclose(out_scores, ref_scores, rtol=1e-5)
+    for q in range(6):
+        assert set(np.asarray(out["topv_idx"])[q].tolist()) == \
+            set(np.asarray(ref["topv_idx"])[q].tolist())
+
+    # VCMR span candidates agree: same scores and same (video, st, ed) sets
+    np.testing.assert_allclose(np.asarray(out["vcmr_scores"]),
+                               np.asarray(ref["vcmr_scores"]), rtol=1e-5)
+    ref_vid_global = np.take_along_axis(np.asarray(ref["topv_idx"]),
+                                        np.asarray(ref["vcmr_vid_local"]), axis=1)
+    for q in range(6):
+        ref_set = set(zip(ref_vid_global[q].tolist(),
+                          np.asarray(ref["vcmr_st"])[q].tolist(),
+                          np.asarray(ref["vcmr_ed"])[q].tolist()))
+        out_set = set(zip(np.asarray(out["vcmr_vid_global"])[q].tolist(),
+                          np.asarray(out["vcmr_st"])[q].tolist(),
+                          np.asarray(out["vcmr_ed"])[q].tolist()))
+        assert len(ref_set & out_set) >= int(0.95 * len(ref_set)), \
+            f"query {q}: candidate sets diverge"
+
+    # SVMR identical (psum one-hot routing)
+    np.testing.assert_allclose(np.asarray(out["svmr_scores"]),
+                               np.asarray(ref["svmr_scores"]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["svmr_st"]),
+                                  np.asarray(ref["svmr_st"]))
+    np.testing.assert_array_equal(np.asarray(out["svmr_ed"]),
+                                  np.asarray(ref["svmr_ed"]))

@@ -20,6 +20,7 @@ def temporal_nms(
     predictions: Sequence[Sequence[float]],
     nms_threshold: float,
     max_after_nms: int = 100,
+    use_native: bool = True,
 ) -> List[List[float]]:
     """Suppress overlapping spans, keeping highest-score representatives.
 
@@ -35,6 +36,14 @@ def temporal_nms(
     """
     if len(predictions) <= 1:
         return [list(p) for p in predictions]
+
+    if use_native:
+        from tvretrieval_tpu.native.loader import native_available, temporal_nms_native
+        if native_available():
+            kept = temporal_nms_native(
+                np.asarray(predictions, dtype=np.float32)[:, :3],
+                nms_threshold, max_after_nms)
+            return [[float(a), float(b), float(c)] for a, b, c in kept]
 
     arr = np.asarray(predictions, dtype=np.float64)  # (n, 3)
     order = np.argsort(-arr[:, 2], kind="stable")

@@ -269,6 +269,37 @@ class XML(nn.Module):
         st, ed = self._span_conv(self.merged_st_predictor, self.merged_ed_predictor, similarity)
         return mask_logits(st, mask), mask_logits(ed, mask)
 
+    def merged_st_ed_scores_gathered(self, video_query, video_feat2_g,
+                                     sub_query, sub_feat2_g, mask_g):
+        """Span logits on per-query GATHERED video rows.
+
+        Exact equivalent of ``merged_st_ed_scores(..., cross=True)`` followed
+        by a row gather — the ConvSE conv and masking are per-row, so
+        gather-then-conv == conv-then-gather. Lets corpus inference compute
+        span scores for only the top-V videos per query (~200x less HBM
+        traffic than the reference's conv over every video,
+        model_xml.py:463-480).
+
+        Args:
+            video_query/sub_query: (Nq, D)
+            video_feat2_g/sub_feat2_g: (Nq, V, L, D) gathered rows
+            mask_g: (Nq, V, L)
+        Returns:
+            st, ed logits (Nq, V, L), masked.
+        """
+        c = self.cfg
+        assert c.use_video and c.use_sub and c.span_predictor_type == "conv"
+        vq = self.video_query_linear(video_query)
+        sq = self.sub_query_linear(sub_query)
+        sim_v = jnp.einsum("qd,qvld->qvl", vq, video_feat2_g,
+                           preferred_element_type=jnp.float32)
+        sim_s = jnp.einsum("qd,qvld->qvl", sq, sub_feat2_g,
+                           preferred_element_type=jnp.float32)
+        similarity = ((sim_v + sim_s) / 2).astype(video_feat2_g.dtype)
+        st = self.merged_st_predictor(similarity)
+        ed = self.merged_ed_predictor(similarity)
+        return mask_logits(st, mask_g), mask_logits(ed, mask_g)
+
     def single_stream_st_ed_scores(self, query, feat2, mask, stream: str, cross: bool = False):
         """Per-stream span logits (reference _get_st_ed_prob :512-551)."""
         c = self.cfg

@@ -118,26 +118,57 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
                        query_feat, query_mask,
                        video_feat1, video_feat2, sub_feat1, sub_feat2,
                        ctx_mask, gt_meta_idx, do_svmr: bool):
-    """One fused device program scoring a query batch against the corpus."""
+    """One fused device program scoring a query batch against the corpus.
+
+    Fast path (merged two-stream ConvSE, the flagship config): video-level
+    scores against ALL videos (two MXU matmuls over feat1), then span
+    probabilities computed only on the GATHERED top-V (+GT) video rows —
+    exact-equivalent to the reference's conv-over-every-video
+    (inference.py:308-374) because conv/softmax are per-row.
+    """
     f32 = jnp.float32
+    c = model.cfg
+    fast = c.merge_two_stream and c.use_video and c.use_sub \
+        and c.span_predictor_type == "conv"
     up = lambda x: None if x is None else x.astype(f32)
-    q2c, st_logits, ed_logits = model.apply(
-        variables, query_feat, query_mask,
-        up(video_feat1), up(video_feat2), ctx_mask,
-        up(sub_feat1), up(sub_feat2), ctx_mask,
-        True, method=XML.get_pred_from_raw_query)              # (Nq,Nv), (Nq,Nv,L)
 
-    q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
-    st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)  # (Nq, Nv, L)
-    ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
-
-    L = st_probs.shape[-1]
+    L = ctx_mask.shape[-1]
     length_mask = jnp.asarray(min_max_length_mask(L, cfg.min_pred_l, cfg.max_pred_l))
+    V = cfg.max_vcmr_video
 
-    # VR / VCMR: top videos
-    topv_scores, topv_idx = jax.lax.top_k(q2c_exp, cfg.max_vcmr_video)  # (Nq, V)
-    st_top = jnp.take_along_axis(st_probs, topv_idx[:, :, None], axis=1)  # (Nq, V, L)
-    ed_top = jnp.take_along_axis(ed_probs, topv_idx[:, :, None], axis=1)
+    if fast:
+        vq, sq = model.apply(variables, query_feat, query_mask,
+                             method=XML.encode_query)          # (Nq, D) x2
+        v_scores = cosine_video_scores(vq, up(video_feat1), ctx_mask)
+        s_scores = cosine_video_scores(sq, up(sub_feat1), ctx_mask)
+        q2c = (v_scores + s_scores) / 2
+        q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
+
+        topv_scores, topv_idx = jax.lax.top_k(q2c_exp, V)      # (Nq, V)
+        gather_idx = (jnp.concatenate([topv_idx, gt_meta_idx[:, None]], axis=1)
+                      if do_svmr else topv_idx)                # (Nq, V[+1])
+        vf2_g = video_feat2[gather_idx]                        # (Nq, V+1, L, D)
+        sf2_g = sub_feat2[gather_idx]
+        mask_g = ctx_mask[gather_idx]                          # (Nq, V+1, L)
+        st_logits, ed_logits = model.apply(
+            variables, vq, up(vf2_g), sq, up(sf2_g), mask_g,
+            method=XML.merged_st_ed_scores_gathered)
+        st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)
+        ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
+        st_top, ed_top = st_probs[:, :V], ed_probs[:, :V]
+    else:
+        q2c, st_logits, ed_logits = model.apply(
+            variables, query_feat, query_mask,
+            up(video_feat1), up(video_feat2), ctx_mask,
+            up(sub_feat1), up(sub_feat2), ctx_mask,
+            True, method=XML.get_pred_from_raw_query)          # (Nq,Nv), (Nq,Nv,L)
+        q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
+        st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)
+        ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
+        topv_scores, topv_idx = jax.lax.top_k(q2c_exp, V)
+        st_top = jnp.take_along_axis(st_probs, topv_idx[:, :, None], axis=1)
+        ed_top = jnp.take_along_axis(ed_probs, topv_idx[:, :, None], axis=1)
+
     joint = (st_top[:, :, :, None] * ed_top[:, :, None, :]
              * topv_scores[:, :, None, None] * length_mask[None, None])
     vcmr_vid_local, vcmr_st, vcmr_ed, vcmr_scores = flat_topk_spans(
@@ -149,10 +180,14 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
         vcmr_scores=vcmr_scores,
     )
     if do_svmr:
-        take_gt = lambda p: jnp.take_along_axis(
-            p, gt_meta_idx[:, None, None], axis=1)[:, 0]       # (Nq, L)
+        if fast:
+            st_gt, ed_gt = st_probs[:, V], ed_probs[:, V]      # gathered GT row
+        else:
+            take_gt = lambda p: jnp.take_along_axis(
+                p, gt_meta_idx[:, None, None], axis=1)[:, 0]   # (Nq, L)
+            st_gt, ed_gt = take_gt(st_probs), take_gt(ed_probs)
         svmr_st, svmr_ed, svmr_scores = top_spans_from_probs(
-            take_gt(st_probs), take_gt(ed_probs), length_mask, cfg.max_before_nms)
+            st_gt, ed_gt, length_mask, cfg.max_before_nms)
         out.update(svmr_st=svmr_st, svmr_ed=svmr_ed, svmr_scores=svmr_scores)
     return out
 
