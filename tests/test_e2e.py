@@ -78,6 +78,42 @@ def test_train_then_retrieve_then_eval(tiny_world):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_external_vr_mode(tiny_world, tmp_path):
+    """XML VCMR guided by an external VR submission must only rank videos
+    from that submission (reference inference.py:346-355)."""
+    import json
+    world = tiny_world
+    builder = _builder(world)
+    cfg = _model_cfg(world, builder)
+    settings = TrainSettings(lr=1e-4, n_epoch=1, bsz=8, seed=4)
+    trainer = XMLTrainer(cfg, settings, builder, world.annotations[:16], mesh=None)
+    trainer.train_epoch(0)
+    rcfg = RetrievalConfig(query_bsz=8, context_bsz=12, max_vcmr_video=3,
+                           min_pred_l=1, max_pred_l=10,
+                           clip_length=world.clip_length)
+    cache = encode_corpus(trainer.model, trainer.variables(), builder,
+                          world.corpus, rcfg)
+    rows = world.annotations[:8]
+    # build a fake external VR submission: each query -> 3 fixed videos
+    ext = {"video2idx": world.corpus.video2idx, "VR": []}
+    for qi, r in enumerate(rows):
+        vids = [world.corpus.video2idx[world.corpus.vid_names[(qi + j) % 12]]
+                for j in range(3)]
+        ext["VR"].append({"desc_id": r["desc_id"], "desc": "",
+                          "predictions": [[v, 0, 0, 0.5 - 0.1 * j]
+                                          for j, v in enumerate(vids)]})
+    ext_path = str(tmp_path / "ext_vr.json")
+    json.dump(ext, open(ext_path, "w"))
+
+    raw = retrieve(trainer.model, trainer.variables(), builder, cache,
+                   rows, world.corpus, rcfg, tasks=("VCMR",),
+                   external_vr_path=ext_path)
+    for qi, entry in enumerate(raw["VCMR"]):
+        allowed = {p[0] for p in ext["VR"][qi]["predictions"]}
+        got = {p[0] for p in entry["predictions"] if p[3] > 0}
+        assert got <= allowed, f"query {qi}: videos outside external VR list"
+
+
 def test_checkpoint_roundtrip(tiny_world, tmp_path):
     import jax
     world = tiny_world

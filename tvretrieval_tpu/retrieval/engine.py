@@ -113,11 +113,14 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("model", "cfg", "do_svmr"))
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "do_svmr",
+                                             "use_external_vr"))
 def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
                        query_feat, query_mask,
                        video_feat1, video_feat2, sub_feat1, sub_feat2,
-                       ctx_mask, gt_meta_idx, do_svmr: bool):
+                       ctx_mask, gt_meta_idx, do_svmr: bool,
+                       use_external_vr: bool = False,
+                       external_idx=None, external_scores=None):
     """One fused device program scoring a query batch against the corpus.
 
     Fast path (merged two-stream ConvSE, the flagship config): video-level
@@ -144,7 +147,13 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
         q2c = (v_scores + s_scores) / 2
         q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
 
-        topv_scores, topv_idx = jax.lax.top_k(q2c_exp, V)      # (Nq, V)
+        if use_external_vr:
+            # replace internal video ranking with an external VR result
+            # (reference inference.py:346-355)
+            topv_idx = external_idx
+            topv_scores = jnp.exp(cfg.q2c_alpha * external_scores)
+        else:
+            topv_scores, topv_idx = jax.lax.top_k(q2c_exp, V)  # (Nq, V)
         gather_idx = (jnp.concatenate([topv_idx, gt_meta_idx[:, None]], axis=1)
                       if do_svmr else topv_idx)                # (Nq, V[+1])
         vf2_g = video_feat2[gather_idx]                        # (Nq, V+1, L, D)
@@ -165,7 +174,11 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
         q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
         st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)
         ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
-        topv_scores, topv_idx = jax.lax.top_k(q2c_exp, V)
+        if use_external_vr:
+            topv_idx = external_idx
+            topv_scores = jnp.exp(cfg.q2c_alpha * external_scores)
+        else:
+            topv_scores, topv_idx = jax.lax.top_k(q2c_exp, V)
         st_top = jnp.take_along_axis(st_probs, topv_idx[:, :, None], axis=1)
         ed_top = jnp.take_along_axis(ed_probs, topv_idx[:, :, None], axis=1)
 
@@ -192,15 +205,40 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
     return out
 
 
+def load_external_vr_submission(path: str, corpus: CorpusIndex,
+                                cache_metas: List[dict], top_n: int):
+    """VR submission JSON -> {desc_id: (meta_idx_list, score_list)}
+    (reference load_external_vr_res2 + meta mapping, inference.py:244-273)."""
+    from tvretrieval_tpu.utils.io import load_json
+
+    sub = load_json(path)
+    video_idx2meta = {corpus.video2idx[m["vid_name"]]: i
+                      for i, m in enumerate(cache_metas)}
+    out = {}
+    for e in sub["VR"]:
+        preds = e["predictions"][:top_n]
+        out[e["desc_id"]] = ([video_idx2meta[p[0]] for p in preds],
+                             [p[3] for p in preds])
+    return out
+
+
 def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
              query_rows: List[dict], corpus: CorpusIndex, cfg: RetrievalConfig,
-             tasks: Sequence[str] = ("VCMR", "SVMR", "VR")) -> Dict[str, list]:
+             tasks: Sequence[str] = ("VCMR", "SVMR", "VR"),
+             external_vr_path: Optional[str] = None) -> Dict[str, list]:
     """Score all queries against the cached corpus; return submission dict
-    entries per task (reference compute_query2ctx_info, inference.py:252-445)."""
+    entries per task (reference compute_query2ctx_info, inference.py:252-445).
+
+    external_vr_path: optional VR submission whose top videos/scores replace
+    the internal video ranking (reference --external_inference_vr_res_path).
+    """
     do_svmr = "SVMR" in tasks
     vid2meta = {m["vid_name"]: i for i, m in enumerate(cache.metas)}
     meta_video_idx = np.asarray(
         [corpus.video2idx[m["vid_name"]] for m in cache.metas], dtype=np.int64)
+    external = (load_external_vr_submission(external_vr_path, corpus,
+                                            cache.metas, cfg.max_vcmr_video)
+                if external_vr_path else None)
 
     n_q = len(query_rows)
     bsz = min(cfg.query_bsz, n_q)
@@ -213,12 +251,25 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
         qb = builder.build_query_batch(rows)
         gt_idx = np.asarray(
             [vid2meta.get(r.get("vid_name") or "", 0) for r in rows], dtype=np.int32)
+        ext_args = {}
+        if external is not None:
+            V = cfg.max_vcmr_video
+            ext_idx = np.zeros((bsz, V), np.int32)
+            ext_scores = np.full((bsz, V), -1e10, np.float32)
+            for qi, r in enumerate(rows):
+                idxs, scores = external.get(r["desc_id"], ([], []))
+                n = min(len(idxs), V)
+                ext_idx[qi, :n] = idxs[:n]
+                ext_scores[qi, :n] = scores[:n]
+            ext_args = dict(use_external_vr=True,
+                            external_idx=jnp.asarray(ext_idx),
+                            external_scores=jnp.asarray(ext_scores))
         out = _score_query_batch(
             model, variables, cfg,
             jnp.asarray(qb.query_feat), jnp.asarray(qb.query_mask),
             cache.video_feat1, cache.video_feat2,
             cache.sub_feat1, cache.sub_feat2,
-            cache.mask, jnp.asarray(gt_idx), do_svmr)
+            cache.mask, jnp.asarray(gt_idx), do_svmr, **ext_args)
         out = {k: np.asarray(v) for k, v in out.items()}
         keep = bsz - pad
         collected.append({k: v[:keep] for k, v in out.items()})

@@ -94,6 +94,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_before_nms", type=int, default=200)
     p.add_argument("--max_vcmr_video", type=int, default=100)
     p.add_argument("--nms_thd", type=float, default=-1.0)
+    p.add_argument("--external_inference_vr_res_path", type=str, default=None,
+                   help="VR submission JSON replacing internal video ranking")
     p.add_argument("--n_devices", type=int, default=None,
                    help="limit the data-parallel mesh to this many devices")
     return p
@@ -158,7 +160,9 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
         context_bsz=args.eval_context_bsz, clip_length=args.clip_length)
     cache = encode_corpus(model, variables, builder, corpus, rcfg)
     raw = retrieve(model, variables, builder, cache,
-                   eval_rows, corpus, rcfg, tasks=tasks)
+                   eval_rows, corpus, rcfg, tasks=tasks,
+                   external_vr_path=getattr(
+                       args, "external_inference_vr_res_path", None))
     raw["video2idx"] = corpus.video2idx
 
     submission = submission_top_n(raw, top_n=100)
