@@ -90,6 +90,39 @@ def test_flat_topk_spans_unravels_correctly(rng):
         np.testing.assert_allclose(got, best, rtol=1e-6)
 
 
+def test_banded_topk_matches_dense(rng):
+    from tvretrieval_tpu.ops.span import banded_topk_spans, banded_top_spans_from_probs
+    nq, v, L, min_l, max_l, topn = 3, 5, 20, 2, 9, 25
+    st = jnp.asarray(rng.uniform(size=(nq, v, L)), jnp.float32)
+    ed = jnp.asarray(rng.uniform(size=(nq, v, L)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(1, 2, size=(nq, v)), jnp.float32)
+    lm = jnp.asarray(min_max_length_mask(L, min_l, max_l))
+
+    joint = (st[:, :, :, None] * ed[:, :, None, :]
+             * vs[:, :, None, None] * lm[None, None])
+    d_vid, d_st, d_ed, d_scores = flat_topk_spans(joint, topn)
+    b_vid, b_st, b_ed, b_scores = banded_topk_spans(st, ed, vs, min_l, max_l, topn)
+    np.testing.assert_allclose(np.asarray(b_scores), np.asarray(d_scores), rtol=1e-6)
+    for q in range(nq):
+        dense_set = set(zip(np.asarray(d_vid)[q].tolist(),
+                            np.asarray(d_st)[q].tolist(),
+                            np.asarray(d_ed)[q].tolist()))
+        band_set = set(zip(np.asarray(b_vid)[q].tolist(),
+                           np.asarray(b_st)[q].tolist(),
+                           np.asarray(b_ed)[q].tolist()))
+        assert dense_set == band_set
+
+    # single-video variant vs dense top_spans_from_probs
+    st1 = jnp.asarray(rng.uniform(size=(4, L)), jnp.float32)
+    ed1 = jnp.asarray(rng.uniform(size=(4, L)), jnp.float32)
+    ds, de, dsc = top_spans_from_probs(st1, ed1, lm, topn)
+    bs, be, bsc = banded_top_spans_from_probs(st1, ed1, min_l, max_l, topn)
+    np.testing.assert_allclose(np.asarray(bsc), np.asarray(dsc), rtol=1e-6)
+    for q in range(4):
+        assert (set(zip(np.asarray(ds)[q].tolist(), np.asarray(de)[q].tolist()))
+                == set(zip(np.asarray(bs)[q].tolist(), np.asarray(be)[q].tolist())))
+
+
 def test_sinusoidal_pe_shape():
     pe = sinusoidal_position_encoding(50, 64)
     assert pe.shape == (50, 64)

@@ -47,6 +47,75 @@ def top_spans_from_probs(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
     return (idx // L).astype(jnp.int32), (idx % L).astype(jnp.int32), scores
 
 
+def _band_indices(L: int, min_l: int, max_l: int):
+    """(L, W) end-indices of the valid span band; W = max_l - min_l.
+
+    Span (st=m, ed=n) is valid iff min_l <= n - m < max_l (the reference's
+    triu min/max-length mask, inference.py:170-192), so for each start m the
+    valid ends are the W consecutive positions m+min_l .. m+max_l-1.
+    """
+    W = max_l - min_l
+    idx = np.arange(L)[:, None] + np.arange(min_l, max_l)[None, :]  # (L, W)
+    valid = (idx < L).astype(np.float32)
+    return np.clip(idx, 0, L - 1), valid, W
+
+
+@partial(jax.jit, static_argnames=("min_l", "max_l", "top_n"))
+def banded_topk_spans(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
+                      video_scores: jnp.ndarray, min_l: int, max_l: int,
+                      top_n: int):
+    """Top-N spans over (videos x starts x band-ends) without materializing
+    the dense (V, L, L) joint tensor.
+
+    Exact-equivalent to ``flat_topk_spans(st ⊗ ed * score * length_mask)``
+    — the length mask keeps only W = max_l - min_l diagonals, so the joint
+    is computed banded: (Nq, V, L, W) instead of (Nq, V, L, L).
+
+    Args:
+        st_probs / ed_probs: (Nq, V, L); video_scores: (Nq, V)
+    Returns:
+        (video_local_idx, st_idx, ed_idx, scores), each (Nq, top_n).
+    """
+    nq, v, L = st_probs.shape
+    idx_np, valid_np, W = _band_indices(L, min_l, max_l)
+    idx = jnp.asarray(idx_np)
+    valid = jnp.asarray(valid_np)
+
+    ed_band = ed_probs[:, :, idx]                                   # (Nq, V, L, W)
+    joint = (st_probs[:, :, :, None] * ed_band
+             * video_scores[:, :, None, None] * valid[None, None])
+    flat = joint.reshape(nq, v * L * W)
+    k = min(top_n, flat.shape[-1])
+    scores, flat_idx = jax.lax.top_k(flat, k)
+    if k < top_n:  # keep the advertised static width
+        scores = jnp.pad(scores, ((0, 0), (0, top_n - k)))
+        flat_idx = jnp.pad(flat_idx, ((0, 0), (0, top_n - k)))
+    vid = flat_idx // (L * W)
+    rem = flat_idx % (L * W)
+    m = rem // W
+    n = m + min_l + rem % W
+    return (vid.astype(jnp.int32), m.astype(jnp.int32),
+            n.astype(jnp.int32), scores)
+
+
+@partial(jax.jit, static_argnames=("min_l", "max_l", "top_n"))
+def banded_top_spans_from_probs(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
+                                min_l: int, max_l: int, top_n: int):
+    """Banded single-video variant of top_spans_from_probs: (N, L) probs."""
+    n_rows, L = st_probs.shape
+    idx_np, valid_np, W = _band_indices(L, min_l, max_l)
+    ed_band = ed_probs[:, jnp.asarray(idx_np)]                      # (N, L, W)
+    joint = st_probs[:, :, None] * ed_band * jnp.asarray(valid_np)[None]
+    k = min(top_n, L * W)
+    scores, flat_idx = jax.lax.top_k(joint.reshape(n_rows, L * W), k)
+    if k < top_n:
+        scores = jnp.pad(scores, ((0, 0), (0, top_n - k)))
+        flat_idx = jnp.pad(flat_idx, ((0, 0), (0, top_n - k)))
+    m = flat_idx // W
+    n = m + min_l + flat_idx % W
+    return m.astype(jnp.int32), n.astype(jnp.int32), scores
+
+
 @partial(jax.jit, static_argnames=("top_n",))
 def flat_topk_spans(joint_scores: jnp.ndarray, top_n: int):
     """Top-N over (N_q, V, L, L) joint scores, flattened over (V, L, L).

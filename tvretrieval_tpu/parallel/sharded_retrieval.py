@@ -29,7 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from tvretrieval_tpu.models.xml import XML
-from tvretrieval_tpu.ops.span import flat_topk_spans, min_max_length_mask, top_spans_from_probs
+from tvretrieval_tpu.ops.span import (
+    banded_top_spans_from_probs, banded_topk_spans, min_max_length_mask)
 
 
 def shard_corpus_cache(cache, mesh: Mesh):
@@ -83,7 +84,6 @@ def score_query_batch_sharded(model: XML, variables, cfg,
         st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)
         ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
         L = st_probs.shape[-1]
-        length_mask = jnp.asarray(min_max_length_mask(L, cfg.min_pred_l, cfg.max_pred_l))
 
         # --- phase 1: global top-V threshold over video scores
         v_local = min(V, nv_local)
@@ -96,10 +96,10 @@ def score_query_batch_sharded(model: XML, variables, cfg,
         kept_scores = jnp.where(keep, top_local, 0.0)
         st_top = jnp.take_along_axis(st_probs, top_local_idx[:, :, None], axis=1)
         ed_top = jnp.take_along_axis(ed_probs, top_local_idx[:, :, None], axis=1)
-        joint = (st_top[:, :, :, None] * ed_top[:, :, None, :]
-                 * kept_scores[:, :, None, None] * length_mask[None, None])
-        n_local = min(N, v_local * L * L)
-        vid_loc, st_i, ed_i, scores = flat_topk_spans(joint, n_local)
+        W = cfg.max_pred_l - cfg.min_pred_l
+        n_local = min(N, v_local * L * W)
+        vid_loc, st_i, ed_i, scores = banded_topk_spans(
+            st_top, ed_top, kept_scores, cfg.min_pred_l, cfg.max_pred_l, n_local)
         vid_global = jnp.take_along_axis(top_local_idx, vid_loc, axis=1) + base
 
         out = dict(
@@ -147,9 +147,8 @@ def score_query_batch_sharded(model: XML, variables, cfg,
         vcmr_st=take(res["cand_st"]), vcmr_ed=take(res["cand_ed"]))
 
     if do_svmr:
-        L = res["svmr_st_probs"].shape[-1]
-        length_mask = jnp.asarray(min_max_length_mask(L, cfg.min_pred_l, cfg.max_pred_l))
-        svmr_st, svmr_ed, svmr_scores = top_spans_from_probs(
-            res["svmr_st_probs"], res["svmr_ed_probs"], length_mask, N)
+        svmr_st, svmr_ed, svmr_scores = banded_top_spans_from_probs(
+            res["svmr_st_probs"], res["svmr_ed_probs"],
+            cfg.min_pred_l, cfg.max_pred_l, N)
         out.update(svmr_st=svmr_st, svmr_ed=svmr_ed, svmr_scores=svmr_scores)
     return out

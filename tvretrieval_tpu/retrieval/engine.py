@@ -30,7 +30,10 @@ import numpy as np
 
 from tvretrieval_tpu.data.datasets import CorpusIndex, ExampleBuilder
 from tvretrieval_tpu.models.xml import XML, cosine_video_scores
-from tvretrieval_tpu.ops.span import flat_topk_spans, min_max_length_mask, top_spans_from_probs
+from tvretrieval_tpu.ops.masking import mask_logits
+from tvretrieval_tpu.ops.span import (
+    banded_top_spans_from_probs, banded_topk_spans, flat_topk_spans,
+    min_max_length_mask, top_spans_from_probs)
 
 
 @dataclass(frozen=True)
@@ -77,7 +80,13 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
             method=XML.encode_context)
         dt = cfg.cache_dtype
         cast = lambda x: None if x is None else x.astype(dt)
-        return cast(vf1), cast(vf2), cast(sf1), cast(sf2)
+        # pre-normalize the retrieval stream once: cosine scoring then skips
+        # re-normalizing 2 x (Nv, L, D) every query batch (L2-norm is
+        # idempotent, so downstream normalize-again paths stay correct)
+        norm = lambda x: None if x is None else cast(
+            x / (jnp.linalg.norm(x.astype(jnp.float32), axis=-1,
+                                 keepdims=True) + 1e-12))
+        return norm(vf1), cast(vf2), norm(sf1), cast(sf2)
 
     n = len(corpus)
     bsz = min(cfg.context_bsz, n)
@@ -142,8 +151,16 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
     if fast:
         vq, sq = model.apply(variables, query_feat, query_mask,
                              method=XML.encode_query)          # (Nq, D) x2
-        v_scores = cosine_video_scores(vq, up(video_feat1), ctx_mask)
-        s_scores = cosine_video_scores(sq, up(sub_feat1), ctx_mask)
+
+        def scores_prenormalized(q, feat1_n):
+            # feat1 is pre-normalized at cache build; only normalize queries
+            qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+            s = jnp.einsum("md,nld->mln", qn.astype(feat1_n.dtype), feat1_n,
+                           preferred_element_type=jnp.float32)
+            return mask_logits(s, ctx_mask.T[None]).max(axis=1)
+
+        v_scores = scores_prenormalized(vq, video_feat1)
+        s_scores = scores_prenormalized(sq, sub_feat1)
         q2c = (v_scores + s_scores) / 2
         q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
 
@@ -182,10 +199,11 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
         st_top = jnp.take_along_axis(st_probs, topv_idx[:, :, None], axis=1)
         ed_top = jnp.take_along_axis(ed_probs, topv_idx[:, :, None], axis=1)
 
-    joint = (st_top[:, :, :, None] * ed_top[:, :, None, :]
-             * topv_scores[:, :, None, None] * length_mask[None, None])
-    vcmr_vid_local, vcmr_st, vcmr_ed, vcmr_scores = flat_topk_spans(
-        joint, cfg.max_before_nms)
+    # banded joint: only the W = max_pred_l - min_pred_l valid diagonals are
+    # computed (exact-equivalent to the dense masked outer product)
+    vcmr_vid_local, vcmr_st, vcmr_ed, vcmr_scores = banded_topk_spans(
+        st_top, ed_top, topv_scores, cfg.min_pred_l, cfg.max_pred_l,
+        cfg.max_before_nms)
 
     out = dict(
         topv_scores=topv_scores, topv_idx=topv_idx,
@@ -199,8 +217,8 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
             take_gt = lambda p: jnp.take_along_axis(
                 p, gt_meta_idx[:, None, None], axis=1)[:, 0]   # (Nq, L)
             st_gt, ed_gt = take_gt(st_probs), take_gt(ed_probs)
-        svmr_st, svmr_ed, svmr_scores = top_spans_from_probs(
-            st_gt, ed_gt, length_mask, cfg.max_before_nms)
+        svmr_st, svmr_ed, svmr_scores = banded_top_spans_from_probs(
+            st_gt, ed_gt, cfg.min_pred_l, cfg.max_pred_l, cfg.max_before_nms)
         out.update(svmr_st=svmr_st, svmr_ed=svmr_ed, svmr_scores=svmr_scores)
     return out
 
