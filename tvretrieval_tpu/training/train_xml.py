@@ -247,6 +247,8 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     logger.info("mesh: %s devices; %d steps/epoch",
                 mesh.devices.size, trainer.steps_per_epoch)
 
+    from tvretrieval_tpu.utils.logging import MetricsLogger
+    metrics_logger = MetricsLogger(results_dir)
     train_log = open(os.path.join(results_dir, "train.log.txt"), "a")
     eval_log = open(os.path.join(results_dir, "eval.log.txt"), "a")
     prev_best = -1.0
@@ -261,6 +263,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
                         + " ".join(f"{k} {v:.4f}" for k, v in losses.items())
                         + f" ({time.time() - t0:.1f}s)\n")
         train_log.flush()
+        metrics_logger.scalars("train", losses, trainer.global_step)
         logger.info("epoch %d train loss %.4f (%.1fs)", epoch,
                     losses["loss_overall"], time.time() - t0)
 
@@ -275,6 +278,14 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
             tasks=settings.eval_tasks, results_dir=results_dir, tag="latest")
         eval_log.write(f"[epoch {epoch}] {json.dumps(metrics)}\n")
         eval_log.flush()
+        if eval_losses:
+            metrics_logger.scalars("eval_loss", eval_losses, trainer.global_step)
+        for task in settings.eval_tasks:
+            if task in metrics:
+                metrics_logger.scalars(
+                    f"eval/{task}",
+                    {k: v for k, v in metrics[task].items()},
+                    trainer.global_step)
 
         stop_names = ["r1"] if args.stop_task == "VR" else ["0.5-r1", "0.7-r1"]
         stop_score = sum(metrics[args.stop_task][k] for k in stop_names)
@@ -298,6 +309,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
 
     train_log.close()
     eval_log.close()
+    metrics_logger.close()
 
     # final inference with NMS (reference train.py:359-375 chains inference)
     final_metrics = None
