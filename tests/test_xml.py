@@ -89,6 +89,31 @@ def test_cross_inference_shapes(rng):
     assert float(st[0, 0, int(batch["video_mask"][0].sum())]) < -1e9
 
 
+def test_lstm_encoder_variant(rng):
+    batch = make_batch(rng)
+    cfg = small_cfg(encoder_type="lstm")
+    model, variables = init_model(cfg, batch)
+    loss, _ = model.apply(
+        variables, **batch, lw_st_ed=jnp.float32(0.01),
+        neg_sample_upper=jnp.int32(6), deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(3), "negatives": jax.random.PRNGKey(4)})
+    assert np.isfinite(float(loss))
+
+
+def test_visualization_data(rng):
+    batch = make_batch(rng)
+    model, variables = init_model(small_cfg(), batch)
+    data = model.apply(variables, batch["query_feat"], batch["query_mask"],
+                       batch["video_feat"], batch["video_mask"],
+                       batch["sub_feat"], batch["sub_mask"],
+                       method=XML.visualization_data)
+    assert data["modular_att_scores"].shape == (6, LQ, 2)
+    assert data["st_prob"].shape == (6, LC)
+    # attention over valid tokens sums to 1
+    np.testing.assert_allclose(
+        np.asarray(data["modular_att_scores"].sum(axis=1)), 1.0, atol=1e-5)
+
+
 def test_sub_only_mode(rng):
     batch = make_batch(rng)
     cfg = small_cfg(ctx_mode="sub", cross_att=False, merge_two_stream=False)

@@ -37,7 +37,24 @@ from tvretrieval_tpu.models.components import (
     TrainablePositionalEncoding,
     _normal_init,
 )
+from tvretrieval_tpu.models.rnn import RNNEncoder
 from tvretrieval_tpu.ops.masking import mask_logits
+
+
+class RNNEncoderLayer(nn.Module):
+    """Bidirectional scan-RNN with the same (x, mask) interface as the
+    attention encoder layers (reference XML encoder_type in {lstm,gru},
+    model_xml.py:84-93)."""
+
+    hidden_size: int          # total (split across directions)
+    rnn_type: str = "lstm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic: bool = True):
+        outputs, _ = RNNEncoder(self.hidden_size // 2, self.rnn_type, True,
+                                self.dtype, name="rnn")(x, mask.sum(axis=-1))
+        return outputs
 
 
 @dataclass(frozen=True)
@@ -48,7 +65,8 @@ class XMLConfig:
     merge_two_stream: bool = True
     cross_att: bool = True
     span_predictor_type: str = "conv"      # "conv" | "cat_linear"
-    encoder_type: str = "transformer"      # "transformer" | "cnn"
+    encoder_type: str = "transformer"      # "transformer" | "cnn" | "lstm" | "gru"
+    add_pe_rnn: bool = False               # positional embedding for RNN encoders
     visual_input_size: int = 3074          # resnet_i3d 3072 + 2 TEF
     sub_input_size: int = 770              # roberta 768 + 2 TEF
     query_input_size: int = 768
@@ -162,14 +180,18 @@ class XML(nn.Module):
             return BertAttention(c.n_heads, c.drop, c.drop, c.dtype)
         if c.encoder_type == "cnn":
             return ConvEncoder(kernel_size=5, dropout=c.drop, dtype=c.dtype)
+        if c.encoder_type in ("lstm", "gru"):
+            return RNNEncoderLayer(c.hidden_size, c.encoder_type, c.dtype)
         raise NotImplementedError(f"encoder_type {c.encoder_type}")
 
     # ------------------------------------------------------------------ input
     def encode_input(self, feat, mask, proj, encoder, pos_embed, deterministic):
         """project -> +pos-embed (LN+drop) -> 1 encoder layer
-        (reference model_xml.py:377-397)."""
+        (reference model_xml.py:377-397). RNN encoders only add the
+        positional embedding when add_pe_rnn is set (:393-397)."""
         x = proj(feat, deterministic=deterministic)
-        x = pos_embed(x, deterministic=deterministic)
+        if self.cfg.encoder_type in ("transformer", "cnn") or self.cfg.add_pe_rnn:
+            x = pos_embed(x, deterministic=deterministic)
         return encoder(x, mask, deterministic=deterministic)
 
     # ------------------------------------------------------------------ query
@@ -362,6 +384,45 @@ class XML(nn.Module):
             st = (vst + sst) / c.n_streams
             ed = (ved + sed) / c.n_streams
         return q2ctx, st, ed
+
+    # --------------------------------------------------------- visualization
+    def visualization_data(self, query_feat, query_mask, video_feat, video_mask,
+                           sub_feat, sub_mask):
+        """Per-example introspection tensors (reference get_visualization_data,
+        model_xml.py:253-289): modular attention over query tokens, merged
+        st/ed probabilities, and the per-stream span similarities. The host
+        slices each array by its true length."""
+        c = self.cfg
+        assert c.merge_two_stream and c.use_video and c.use_sub and not c.no_modular
+        vf1, vf2, sf1, sf2 = self.encode_context(video_feat, video_mask,
+                                                 sub_feat, sub_mask, True)
+        encoded_query = self.encode_input(
+            query_feat, query_mask, self.query_input_proj, self.query_encoder,
+            self.query_pos_embed, True)
+        att = self.modular_vector_mapping(encoded_query)            # (N, Lq, 2)
+        att = jax.nn.softmax(mask_logits(att, query_mask[:, :, None]), axis=1)
+        queries = jnp.einsum("blm,bld->bmd", att, encoded_query,
+                             preferred_element_type=jnp.float32
+                             ).astype(encoded_query.dtype)
+        vq, sq = queries[:, 0], queries[:, 1]
+
+        vql = self.video_query_linear(vq)
+        sql = self.sub_query_linear(sq)
+        sim_v = jnp.einsum("bd,bld->bl", vql, vf2,
+                           preferred_element_type=jnp.float32)
+        sim_s = jnp.einsum("bd,bld->bl", sql, sf2,
+                           preferred_element_type=jnp.float32)
+        similarity = ((sim_v + sim_s) / 2).astype(vf2.dtype)
+        st = mask_logits(self.merged_st_predictor(similarity), video_mask)
+        ed = mask_logits(self.merged_ed_predictor(similarity), video_mask)
+        return dict(
+            modular_att_scores=att,
+            st_prob=jax.nn.softmax(st.astype(jnp.float32), axis=-1),
+            ed_prob=jax.nn.softmax(ed.astype(jnp.float32), axis=-1),
+            similarity_scores=similarity,
+            video_similarity=sim_v,
+            sub_similarity=sim_s,
+        )
 
     # -------------------------------------------------------------- training
     def __call__(self, query_feat, query_mask, video_feat, video_mask,

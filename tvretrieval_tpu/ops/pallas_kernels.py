@@ -49,12 +49,13 @@ def _video_scores_kernel(q_ref, feat_ref, mask_ref, out_ref, *, alpha):
 @functools.partial(jax.jit, static_argnames=("alpha", "block_videos", "interpret"))
 def fused_video_scores(queries: jnp.ndarray, feat1: jnp.ndarray,
                        mask: jnp.ndarray, alpha: float | None = None,
-                       block_videos: int = 64, interpret: bool = False):
+                       block_videos: int = 128, interpret: bool = False):
     """(M, D) x (Nv, L, D) -> (M, Nv) fused masked-max cosine scores.
 
     queries and feat1 must be L2-normalized. Padded videos (mask all-zero)
     score exp(alpha * -1e10) = 0 (or -1e10 without alpha), like the XLA path.
-    Nv must be divisible by block_videos (pad with mask=0 rows).
+    Nv must be divisible by block_videos (pad with mask=0 rows); on real TPU
+    block_videos must be a multiple of 128 (output-lane tiling constraint).
     """
     M, D = queries.shape
     Nv, L, _ = feat1.shape

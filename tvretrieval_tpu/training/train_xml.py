@@ -63,7 +63,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--drop", type=float, default=0.1)
     p.add_argument("--margin", type=float, default=0.1)
     p.add_argument("--ranking_loss_type", type=str, default="hinge", choices=["hinge", "lse"])
-    p.add_argument("--encoder_type", type=str, default="transformer", choices=["transformer", "cnn"])
+    p.add_argument("--encoder_type", type=str, default="transformer",
+                   choices=["transformer", "cnn", "lstm", "gru"])
     p.add_argument("--span_predictor_type", type=str, default="conv", choices=["conv", "cat_linear"])
     p.add_argument("--no_merge_two_stream", action="store_true")
     p.add_argument("--no_cross_att", action="store_true")
@@ -98,6 +99,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="VR submission JSON replacing internal video ranking")
     p.add_argument("--n_devices", type=int, default=None,
                    help="limit the data-parallel mesh to this many devices")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir to resume params+optimizer state from")
+    p.add_argument("--detect_anomaly", action="store_true",
+                   help="enable jax_debug_nans (reference torch detect_anomaly)")
+    p.add_argument("--add_pe_rnn", action="store_true")
     return p
 
 
@@ -202,11 +208,21 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     args = build_arg_parser().parse_args(argv)
     if args.debug:
         args.n_epoch = min(args.n_epoch, 1)
+    if args.detect_anomaly:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     exp_id = args.exp_id or time.strftime("%Y%m%d_%H%M%S")
     results_dir = os.path.join(args.results_root, f"{args.dset_name}-{exp_id}")
     os.makedirs(results_dir, exist_ok=True)
     save_json(vars(args), os.path.join(results_dir, "opt.json"), pretty=True)
+    # source snapshot per run (reference config.py:219-226 code.zip)
+    from tvretrieval_tpu.utils.io import make_code_zip
+    try:
+        make_code_zip(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), os.path.join(results_dir, "code.zip"))
+    except Exception:
+        logger.warning("code snapshot failed", exc_info=True)
 
     train_rows, eval_rows, builder, corpus = setup_world(args)
     logger.info("train=%d eval=%d corpus=%d videos",
@@ -221,6 +237,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
             ("video" in args.ctx_mode and "sub" in args.ctx_mode),
         span_predictor_type=args.span_predictor_type,
         encoder_type=args.encoder_type,
+        add_pe_rnn=args.add_pe_rnn,
         visual_input_size=(builder.video_source.dim + tef_dims
                            if builder.use_video else 2),
         sub_input_size=(builder.sub_source.dim + tef_dims
@@ -244,8 +261,24 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
 
     mesh = make_mesh(args.n_devices)
     trainer = XMLTrainer(model_cfg, settings, builder, train_rows, mesh=mesh)
-    logger.info("mesh: %s devices; %d steps/epoch",
-                mesh.devices.size, trainer.steps_per_epoch)
+    from tvretrieval_tpu.utils.io import count_params
+    logger.info("mesh: %s devices; %d steps/epoch; %s params",
+                mesh.devices.size, trainer.steps_per_epoch,
+                f"{count_params(trainer.params):,}")
+
+    start_epoch = 0
+    if args.resume:
+        from tvretrieval_tpu.training.checkpoint import load_checkpoint
+        # restore against live templates so opt_state regains its NamedTuple
+        # structure (orbax restores plain dicts otherwise)
+        params, opt_state, _, ckpt_epoch = load_checkpoint(
+            args.resume, target={"params": trainer.params,
+                                 "opt_state": trainer.opt_state})
+        trainer.params = params
+        if opt_state is not None:
+            trainer.opt_state = opt_state
+        start_epoch = ckpt_epoch + 1
+        logger.info("resumed from %s at epoch %d", args.resume, ckpt_epoch)
 
     from tvretrieval_tpu.utils.logging import MetricsLogger
     metrics_logger = MetricsLogger(results_dir)
@@ -256,7 +289,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     best_metrics = None
     ckpt_dir = os.path.join(results_dir, "ckpt")
 
-    for epoch in range(args.n_epoch):
+    for epoch in range(start_epoch, args.n_epoch):
         t0 = time.time()
         losses = trainer.train_epoch(epoch)
         train_log.write(f"[epoch {epoch}] "

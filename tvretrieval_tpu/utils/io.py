@@ -7,6 +7,7 @@ fresh for this framework.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Iterable, List, Sequence
 
 import numpy as np
@@ -55,6 +56,33 @@ def dissect_by_lengths(arr: np.ndarray, lengths: Sequence[int]) -> List[np.ndarr
         out.append(arr[offset:offset + n])
         offset += n
     return out
+
+
+def count_params(params) -> int:
+    """Total parameter count of a pytree (reference utils/model_utils.py:91)."""
+    import jax
+    import numpy as np
+    return int(sum(np.prod(leaf.shape) for leaf in jax.tree_util.tree_leaves(params)))
+
+
+def make_code_zip(repo_root: str, out_path: str,
+                  include_dirs=("tvretrieval_tpu", "tests", "native", "scripts")) -> None:
+    """Snapshot the framework source into a zip next to the run's results
+    (reference utils/basic_utils.py:87 make_zipfile, config.py:219-226)."""
+    import zipfile
+
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for d in include_dirs:
+            base = os.path.join(repo_root, d)
+            if not os.path.isdir(base):
+                continue
+            for root, _dirs, files in os.walk(base):
+                if "__pycache__" in root:
+                    continue
+                for fname in files:
+                    if fname.endswith((".py", ".cpp", ".sh", "Makefile")) or fname == "Makefile":
+                        full = os.path.join(root, fname)
+                        zf.write(full, os.path.relpath(full, repo_root))
 
 
 class AverageMeter:
