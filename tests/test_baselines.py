@@ -173,6 +173,32 @@ def test_proposals_match_reference(rng):
                                ref.DidemoICCV17SS()("x"), rtol=1e-6)
 
 
+def test_proposal_cache_roundtrip(tmp_path, rng):
+    import jax.numpy as jnp
+    from tvretrieval_tpu.retrieval.proposal_engine import (
+        ProposalCorpusCache, load_proposal_cache, save_proposal_cache)
+    cache = ProposalCorpusCache(
+        mean_emb_video=jnp.asarray(rng.normal(size=(4, 6, 8)), jnp.float32),
+        mean_sq_video=jnp.asarray(rng.normal(size=(4, 6)), jnp.float32),
+        mean_emb_sub=None, mean_sq_sub=None,
+        prop_mask=jnp.ones((4, 6)),
+        prop_spans=rng.normal(size=(4, 6, 2)).astype(np.float32),
+        n_videos=4)
+    path = str(tmp_path / "cache.npz")
+    save_proposal_cache(cache, path)
+    loaded = load_proposal_cache(path)
+    assert loaded.mean_emb_sub is None
+    np.testing.assert_allclose(np.asarray(loaded.mean_emb_video),
+                               np.asarray(cache.mean_emb_video))
+    assert loaded.n_videos == 4
+
+
+def test_didemo_agreed_ts():
+    from tvretrieval_tpu.data.datasets import didemo_agreed_ts
+    assert didemo_agreed_ts([[1, 1], [1, 1], [1, 1], [0, 0]]) == [1, 1]
+    assert didemo_agreed_ts([[2.5, 5.0]]) == [2.5, 5.0]
+
+
 def test_cal_pdist_cdist_consistency(rng):
     from tvretrieval_tpu.models.cal import CALWithSub, CALConfig
     cfg = CALConfig(ctx_mode="video_sub", visual_input_size=10,

@@ -38,6 +38,22 @@ def eval_st_ed_label(ts: Sequence[float], clip_length: float, max_idx: int) -> n
     return np.asarray([st, ed], dtype=np.int32)
 
 
+def didemo_agreed_ts(times_list: Sequence[Sequence[float]]) -> list:
+    """Most-frequent annotation among DiDeMo's multiple [st, ed] pairs
+    (reference compute_proposal_upper_bound.py:15-22; used by the train
+    dataset for dset_name='didemo', start_end_dataset.py:103)."""
+    from collections import Counter
+    counts = Counter(tuple(e) for e in times_list)
+    return list(counts.most_common(1)[0][0])
+
+
+def resolve_ts(row: dict, dset_name: str) -> Sequence[float]:
+    """GT span for training: DiDeMo rows carry multiple annotations."""
+    if dset_name == "didemo":
+        return didemo_agreed_ts(row["ts"])
+    return row["ts"]
+
+
 def tef_features(n_clips: int) -> np.ndarray:
     """Temporal endpoint features: row i = [i/n, (i+1)/n] (start_end_dataset.py:127-133)."""
     st = np.arange(n_clips, dtype=np.float32) / n_clips
@@ -121,7 +137,9 @@ class ExampleBuilder:
         clip_length: float = 1.5,
         normalize_vfeat: bool = True,
         normalize_tfeat: bool = True,
+        dset_name: str = "tvr",
     ):
+        self.dset_name = dset_name
         self.query_source = query_source
         self.video_source = video_source
         self.sub_source = sub_source
@@ -202,7 +220,8 @@ class ExampleBuilder:
             q_feats[i], q_masks[i] = self.query(row["desc_id"])
             v_feats[i], s_feats[i], masks[i], ctx_l = self.context(
                 row["vid_name"], row.get("duration"))
-            st_ed[i] = label_fn(row["ts"], self.clip_length, max_idx=ctx_l - 1)
+            ts = resolve_ts(row, self.dset_name)
+            st_ed[i] = label_fn(ts, self.clip_length, max_idx=ctx_l - 1)
             metas.append({k: row.get(k) for k in ("desc_id", "desc", "vid_name", "duration", "ts", "type")})
         return StartEndBatch(
             query_feat=q_feats, query_mask=q_masks,

@@ -23,24 +23,34 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e10
 
 
-def _video_scores_kernel(q_ref, feat_ref, mask_ref, out_ref, *, alpha):
+def _video_scores_kernel(q_ref, feat_ref, mask_ref, out_ref, *, alpha, n_clips):
     """Grid step over one corpus tile.
 
     q_ref: (M, D) normalized queries (VMEM, whole)
     feat_ref: (BV, L, D) normalized clip features tile
     mask_ref: (BV, L) validity tile
     out_ref: (M, BV) output tile = exp(alpha * max_l cos(q, clip))
+
+    Mosaic only lowers 2-D dots, so the max-over-clips runs as a fori loop
+    over L: each step is one (M, D) x (D, BV) MXU matmul folded into a
+    running masked max — the (M, BV, L) similarity block never exists.
     """
     q = q_ref[:]                                    # (M, D)
-    feat = feat_ref[:]                              # (BV, L, D)
-    # (M, BV, L) cosine block on the MXU
-    sims = jax.lax.dot_general(
-        q, feat,
-        dimension_numbers=(((1,), (2,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    mask = mask_ref[:][None]                        # (1, BV, L)
-    sims = sims * mask + (1.0 - mask) * NEG_INF
-    scores = jnp.max(sims, axis=2)                  # (M, BV)
+    M = q.shape[0]
+    BV = mask_ref.shape[0]
+
+    def body(l, acc):
+        feat_l = feat_ref[:, l, :]                  # (BV, D)
+        sims = jax.lax.dot_general(
+            q, feat_l,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (M, BV)
+        m = mask_ref[:, l][None]                    # (1, BV)
+        sims = sims * m + (1.0 - m) * NEG_INF
+        return jnp.maximum(acc, sims)
+
+    scores = jax.lax.fori_loop(
+        0, n_clips, body, jnp.full((M, BV), NEG_INF, jnp.float32))
     if alpha is not None:
         scores = jnp.exp(alpha * scores)
     out_ref[:] = scores.astype(out_ref.dtype)
@@ -63,7 +73,7 @@ def fused_video_scores(queries: jnp.ndarray, feat1: jnp.ndarray,
     grid = (Nv // block_videos,)
 
     return pl.pallas_call(
-        functools.partial(_video_scores_kernel, alpha=alpha),
+        functools.partial(_video_scores_kernel, alpha=alpha, n_clips=L),
         out_shape=jax.ShapeDtypeStruct((M, Nv), jnp.float32),
         grid=grid,
         in_specs=[

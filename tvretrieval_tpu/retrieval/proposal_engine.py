@@ -128,6 +128,30 @@ def encode_proposal_corpus(model: CALWithSub, variables,
         prop_mask=jnp.concatenate(masks), prop_spans=spans, n_videos=n)
 
 
+def save_proposal_cache(cache: ProposalCorpusCache, path: str) -> None:
+    """Persist the encoded proposal corpus (reference --use_intermediate
+    caching, clip_alignment_with_language/inference.py:534-545): a crashed
+    or repeated inference resumes without re-encoding 21.8K videos."""
+    arrays = {"prop_mask": np.asarray(cache.prop_mask),
+              "prop_spans": cache.prop_spans,
+              "n_videos": np.asarray(cache.n_videos)}
+    for key in ("mean_emb_video", "mean_sq_video", "mean_emb_sub", "mean_sq_sub"):
+        val = getattr(cache, key)
+        if val is not None:
+            arrays[key] = np.asarray(val)
+    np.savez_compressed(path, **arrays)
+
+
+def load_proposal_cache(path: str) -> ProposalCorpusCache:
+    z = np.load(path, allow_pickle=False)
+    maybe = lambda k: jnp.asarray(z[k]) if k in z.files else None
+    return ProposalCorpusCache(
+        mean_emb_video=maybe("mean_emb_video"), mean_sq_video=maybe("mean_sq_video"),
+        mean_emb_sub=maybe("mean_emb_sub"), mean_sq_sub=maybe("mean_sq_sub"),
+        prop_mask=jnp.asarray(z["prop_mask"]), prop_spans=z["prop_spans"],
+        n_videos=int(z["n_videos"]))
+
+
 def cal_retrieve(model: CALWithSub, variables, builder: CALExampleBuilder,
                  cache: ProposalCorpusCache, corpus: CorpusIndex,
                  query_rows: List[dict], tasks: Sequence[str] = ("VCMR", "SVMR"),
