@@ -4,12 +4,16 @@
 (reference get_video_level_scores, model_xml.py:436-453 + exp fusion,
 inference.py:317). XLA's einsum("md,nld->mln") materializes the (M, L, Nv)
 clip-similarity tensor to HBM (~436MB per stream at corpus scale) before the
-masked max reduces it. This kernel tiles the corpus over the grid, keeps the
-(M, BV, L) block in VMEM, and fuses matmul (MXU) + pad-mask + max-over-clips
-+ exp(alpha*.) in one pass, writing only the (M, Nv) result.
+masked max reduces it. This kernel tiles the corpus over the grid and folds
+the max-over-clips into a running accumulator: each grid step loops over
+clips, issuing one (M, D) x (D, BV) MXU matmul per clip — the similarity
+block never leaves VMEM.
 
-Inputs are expected pre-normalized (queries and clip features), matching the
-engine's cache layout, so the dot products ARE cosine similarities.
+Layout notes (Mosaic tiling constraints): the clip features are passed
+CLIP-MAJOR, (L, Nv, D), so the per-clip dynamic index hits the untiled
+leading axis; the mask is (L, 1, Nv) for the same reason. Inputs are
+expected pre-normalized (queries and clip features), matching the engine's
+cache layout, so the dot products ARE cosine similarities.
 """
 from __future__ import annotations
 
@@ -27,25 +31,21 @@ def _video_scores_kernel(q_ref, feat_ref, mask_ref, out_ref, *, alpha, n_clips):
     """Grid step over one corpus tile.
 
     q_ref: (M, D) normalized queries (VMEM, whole)
-    feat_ref: (BV, L, D) normalized clip features tile
-    mask_ref: (BV, L) validity tile
+    feat_ref: (L, BV, D) clip-major normalized features tile
+    mask_ref: (L, 1, BV) validity tile
     out_ref: (M, BV) output tile = exp(alpha * max_l cos(q, clip))
-
-    Mosaic only lowers 2-D dots, so the max-over-clips runs as a fori loop
-    over L: each step is one (M, D) x (D, BV) MXU matmul folded into a
-    running masked max — the (M, BV, L) similarity block never exists.
     """
     q = q_ref[:]                                    # (M, D)
     M = q.shape[0]
-    BV = mask_ref.shape[0]
+    BV = out_ref.shape[1]
 
     def body(l, acc):
-        feat_l = feat_ref[:, l, :]                  # (BV, D)
+        feat_l = feat_ref[l]                        # (BV, D)
         sims = jax.lax.dot_general(
             q, feat_l,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)     # (M, BV)
-        m = mask_ref[:, l][None]                    # (1, BV)
+        m = mask_ref[l]                             # (1, BV)
         sims = sims * m + (1.0 - m) * NEG_INF
         return jnp.maximum(acc, sims)
 
@@ -57,18 +57,18 @@ def _video_scores_kernel(q_ref, feat_ref, mask_ref, out_ref, *, alpha, n_clips):
 
 
 @functools.partial(jax.jit, static_argnames=("alpha", "block_videos", "interpret"))
-def fused_video_scores(queries: jnp.ndarray, feat1: jnp.ndarray,
-                       mask: jnp.ndarray, alpha: float | None = None,
-                       block_videos: int = 128, interpret: bool = False):
-    """(M, D) x (Nv, L, D) -> (M, Nv) fused masked-max cosine scores.
+def fused_video_scores_clip_major(queries: jnp.ndarray, feat1_t: jnp.ndarray,
+                                  mask_t: jnp.ndarray,
+                                  alpha: float | None = None,
+                                  block_videos: int = 128,
+                                  interpret: bool = False):
+    """(M, D) x (L, Nv, D) clip-major -> (M, Nv) fused masked-max scores.
 
-    queries and feat1 must be L2-normalized. Padded videos (mask all-zero)
-    score exp(alpha * -1e10) = 0 (or -1e10 without alpha), like the XLA path.
-    Nv must be divisible by block_videos (pad with mask=0 rows); on real TPU
-    block_videos must be a multiple of 128 (output-lane tiling constraint).
+    mask_t: (L, 1, Nv). Nv must be divisible by block_videos (pad with
+    mask=0 columns); on real TPU block_videos must be a multiple of 128.
     """
     M, D = queries.shape
-    Nv, L, _ = feat1.shape
+    L, Nv, _ = feat1_t.shape
     assert Nv % block_videos == 0, f"Nv={Nv} % block_videos={block_videos}"
     grid = (Nv // block_videos,)
 
@@ -78,15 +78,25 @@ def fused_video_scores(queries: jnp.ndarray, feat1: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec((M, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_videos, L, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((L, block_videos, D), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_videos, L), lambda i: (i, 0),
+            pl.BlockSpec((L, 1, block_videos), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, block_videos), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(queries, feat1, mask)
+    )(queries, feat1_t, mask_t)
+
+
+def fused_video_scores(queries: jnp.ndarray, feat1: jnp.ndarray,
+                       mask: jnp.ndarray, alpha: float | None = None,
+                       block_videos: int = 128, interpret: bool = False):
+    """Video-major convenience wrapper: (Nv, L, D) + (Nv, L) inputs."""
+    feat1_t = jnp.transpose(feat1, (1, 0, 2))
+    mask_t = jnp.transpose(mask, (1, 0))[:, None, :]
+    return fused_video_scores_clip_major(queries, feat1_t, mask_t, alpha,
+                                         block_videos, interpret)
 
 
 def fused_video_scores_xla(queries: jnp.ndarray, feat1: jnp.ndarray,
