@@ -14,6 +14,13 @@ CLIP-MAJOR, (L, Nv, D), so the per-clip dynamic index hits the untiled
 leading axis; the mask is (L, 1, Nv) for the same reason. Inputs are
 expected pre-normalized (queries and clip features), matching the engine's
 cache layout, so the dot products ARE cosine similarities.
+
+Measured on v5e (M=50, Nv=21888, L=100, D=256, bf16): this kernel runs at
+20.7 ms/call vs 15.4 ms for XLA's einsum+mask+max — the per-clip
+(50x256)x(256x128) matmuls under-utilize the MXU, while XLA fuses the max
+into one large contraction. The production engine therefore stays on the
+XLA path; the kernel is kept as validated Pallas infrastructure (and the
+baseline for a future fused score+top-k kernel with DMA double-buffering).
 """
 from __future__ import annotations
 

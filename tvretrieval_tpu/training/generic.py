@@ -96,11 +96,15 @@ class GenericTrainer:
             it, build_fn=lambda rows: {k: jnp.asarray(v) for k, v in
                                        self.build_fn(rows).items()},
             put_fn=lambda b: {k: jax.device_put(v, sh) for k, v in b.items()})
+        # losses stay on device until epoch end (no per-step host syncs)
+        step_losses = []
         for batch in prefetch:
             (self.params, self.model_state, self.opt_state, self.rng,
              loss, aux) = self._step(self.params, self.model_state,
                                      self.opt_state, batch, self.rng)
-            for k, v in {**aux, "loss": loss}.items():
+            step_losses.append({**aux, "loss": loss})
+        for rec in jax.device_get(step_losses):
+            for k, v in rec.items():
                 meters.setdefault(k, AverageMeter()).update(float(v))
         return {k: m.avg for k, m in meters.items()}
 

@@ -145,16 +145,21 @@ class XMLTrainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         lw, neg_upper = self._schedule(epoch)
-        meters = {k: AverageMeter() for k in
-                  ("loss_st_ed", "loss_neg_ctx", "loss_neg_q", "loss_overall")}
         it = BatchIterator(self.train_rows, self.s.bsz, shuffle=True,
                            drop_last=True, seed=self.s.seed)
         it.epoch = epoch
         prefetch = DevicePrefetcher(it, build_fn=self._build, put_fn=self._put)
+        # keep per-step losses on device; one transfer at epoch end (a host
+        # sync per step would serialize the TPU pipeline)
+        step_losses = []
         for batch in prefetch:
             self.params, self.opt_state, self.rng, loss, loss_dict = self._step(
                 self.params, self.opt_state, batch, self.rng, lw, neg_upper)
             self.global_step += 1
+            step_losses.append(loss_dict)
+        meters = {k: AverageMeter() for k in
+                  ("loss_st_ed", "loss_neg_ctx", "loss_neg_q", "loss_overall")}
+        for loss_dict in jax.device_get(step_losses):
             for k, v in loss_dict.items():
                 meters[k].update(float(v))
         return {k: m.avg for k, m in meters.items()}
