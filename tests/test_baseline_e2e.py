@@ -15,6 +15,12 @@ def test_mee_driver_e2e(tmp_path):
     # above chance (1/10 videos = 10%) on the planted signal
     assert out["best_metrics"]["VR"]["r5"] > 50.0, out["best_metrics"]["VR"]
 
+    # standalone inference from the saved checkpoint reproduces metrics
+    from tvretrieval_tpu.retrieval.inference_baselines import start_inference
+    res = start_inference(["--model_type", "mee",
+                           "--model_dir", out["results_dir"]])
+    assert res["metrics"]["VR"]["r5"] > 50.0, res["metrics"]["VR"]
+
 
 def test_excl_driver_e2e(tmp_path):
     from tvretrieval_tpu.training.train_excl import start_training
@@ -44,3 +50,18 @@ def test_cal_driver_e2e(tmp_path):
     assert m is not None and "VCMR" in m and "SVMR" in m
     # sanity: predictions exist and metrics are in range
     assert 0.0 <= m["VCMR"]["0.5-r100"] <= 100.0
+
+    # standalone inference with proposal-cache persistence
+    from tvretrieval_tpu.retrieval.inference_baselines import start_inference
+    cache_path = str(tmp_path / "prop_cache.npz")
+    res = start_inference(["--model_type", "cal",
+                           "--model_dir", out["results_dir"],
+                           "--proposal_cache_path", cache_path])
+    assert "VCMR" in res["metrics"]
+    import os
+    assert os.path.exists(cache_path)
+    # second run hits the cache
+    res2 = start_inference(["--model_type", "cal",
+                            "--model_dir", out["results_dir"],
+                            "--proposal_cache_path", cache_path])
+    assert res2["metrics"]["VCMR"] == res["metrics"]["VCMR"]

@@ -143,8 +143,9 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
             save_json(metrics,
                       os.path.join(results_dir, "best_predictions_metrics.json"),
                       pretty=True)
-            save_checkpoint(os.path.join(results_dir, "ckpt"), trainer.params,
-                            trainer.opt_state, cfg, epoch)
+            # checkpoint the FULL variables (params + BatchNorm running stats)
+            save_checkpoint(os.path.join(results_dir, "ckpt"),
+                            trainer.variables(), trainer.opt_state, cfg, epoch)
         else:
             es_cnt += 1
             if args.max_es_cnt != -1 and es_cnt > args.max_es_cnt:
