@@ -25,7 +25,7 @@ BASELINE_REF_QPS = 170.0
 N_VIDEOS = 21818
 N_CLIPS = 100
 HIDDEN = 256
-QUERY_BSZ = 50
+QUERY_BSZ = 100
 N_WARMUP = 2
 N_ITERS = 10
 

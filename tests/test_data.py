@@ -89,6 +89,13 @@ def test_batch_iterator_deterministic_and_drop_last():
     assert e0 != e1  # next epoch reshuffles
 
 
+def test_device_prefetcher_multiworker_order():
+    rows = [[{"i": i}] for i in range(12)]
+    pf = DevicePrefetcher(iter(rows), build_fn=lambda b: b[0]["i"] * 3,
+                          n_workers=4)
+    assert list(pf) == [i * 3 for i in range(12)]
+
+
 def test_device_prefetcher_preserves_order_and_propagates_errors():
     rows = [[{"i": i}] for i in range(5)]
     pf = DevicePrefetcher(iter(rows), build_fn=lambda b: b[0]["i"] * 2)

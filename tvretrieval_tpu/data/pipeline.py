@@ -49,28 +49,44 @@ class BatchIterator:
 
 
 class DevicePrefetcher:
-    """Wraps a batch-producing iterator; builds + device_puts batches on a
-    background thread, keeping ``buffer_size`` batches in flight."""
+    """Wraps a batch-producing iterator; builds + device_puts batches on
+    background threads, keeping ``buffer_size`` batches in flight.
+
+    With ``n_workers > 1`` batches are built by a thread pool (numpy releases
+    the GIL for the heavy ops) while a coordinator preserves order —
+    replacing the reference's multi-process DataLoader workers
+    (train.py:136-141) on a single-core TPU host.
+    """
 
     _DONE = object()
 
     def __init__(self, batch_iter, build_fn: Callable, put_fn: Optional[Callable] = None,
-                 buffer_size: int = 2):
+                 buffer_size: int = 2, n_workers: int = 1):
         self._batch_iter = batch_iter
         self._build_fn = build_fn
         self._put_fn = put_fn
-        self._q: queue.Queue = queue.Queue(maxsize=buffer_size)
+        self._n_workers = max(n_workers, 1)
+        self._q: queue.Queue = queue.Queue(maxsize=max(buffer_size, self._n_workers))
         self._err: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
         try:
-            for rows in self._batch_iter:
-                batch = self._build_fn(rows)
-                if self._put_fn is not None:
-                    batch = self._put_fn(batch)
-                self._q.put(batch)
+            if self._n_workers == 1:
+                for rows in self._batch_iter:
+                    batch = self._build_fn(rows)
+                    if self._put_fn is not None:
+                        batch = self._put_fn(batch)
+                    self._q.put(batch)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(self._n_workers) as pool:
+                    # executor.map preserves input order
+                    for batch in pool.map(self._build_fn, self._batch_iter):
+                        if self._put_fn is not None:
+                            batch = self._put_fn(batch)
+                        self._q.put(batch)
         except BaseException as e:  # surfaced on the consumer thread
             self._err = e
         finally:
