@@ -125,6 +125,72 @@ def test_sub_only_mode(rng):
     assert np.isfinite(float(loss))
 
 
+def test_padding_width_invariance(rng):
+    """Fixed-shape padding must not change results (SURVEY.md §7 'masked
+    variable-length -> fixed-shape' hard part): the same examples padded to
+    L=20 vs L=32 produce identical video-level scores and identical span
+    logits everywhere EXCEPT the last conv_kernel//2 valid positions.
+
+    The exception is inherited reference semantics: fully-masked pad rows
+    get UNIFORM attention (additive -1e4 on every key -> softmax 1/L, which
+    depends on L; model_components.py:277), and the ConvSE conv reads those
+    pad-position similarities into its halo (model_xml.py:486-497). Only the
+    boundary halo can differ; everything else must match exactly."""
+    n = 4
+    true_len = 14
+    batch20 = make_batch(rng, n)
+    # keep only true_len valid positions
+    mask = np.zeros((n, LC), np.float32)
+    mask[:, :true_len] = 1.0
+    feats = {k: np.array(v) for k, v in batch20.items()}  # writable copies
+    for k in ("video_feat", "sub_feat"):
+        feats[k][:, true_len:] = 0.0
+    feats["video_mask"] = mask
+    feats["sub_mask"] = mask.copy()
+
+    def widen(arr, L):
+        out = np.zeros((n, L) + arr.shape[2:], arr.dtype)
+        out[:, :arr.shape[1]] = arr
+        return out
+
+    # one model (pos-embed table sized for the widest padding); the same
+    # params score inputs padded to L=20 and L=32
+    cfg = small_cfg(max_ctx_l=32)
+    model = model_wide = XML(cfg)
+    b_small = {k: jnp.asarray(v) for k, v in feats.items()}
+    b_wide = dict(b_small)
+    for k in ("video_feat", "sub_feat", "video_mask", "sub_mask"):
+        b_wide[k] = jnp.asarray(widen(feats[k], 32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "negatives": jax.random.PRNGKey(2)}, **b_wide, deterministic=True)
+
+    def outputs(m, variables, b):
+        vf1, vf2, sf1, sf2 = m.apply(variables, b["video_feat"], b["video_mask"],
+                                     b["sub_feat"], b["sub_mask"],
+                                     method=XML.encode_context)
+        return m.apply(variables, b["query_feat"], b["query_mask"],
+                       vf1, vf2, b["video_mask"], sf1, sf2, b["sub_mask"],
+                       False, method=XML.get_pred_from_raw_query)
+
+    # same params work for both widths (pos-embed table sliced per length)
+    q2c_s, st_s, ed_s = outputs(model, variables, b_small)
+    q2c_w, st_w, ed_w = outputs(model_wide, variables, b_wide)
+    np.testing.assert_allclose(np.asarray(q2c_s), np.asarray(q2c_w),
+                               rtol=1e-5, atol=1e-6)
+    halo = cfg.conv_kernel_size // 2
+    np.testing.assert_allclose(np.asarray(st_s)[:, :true_len - halo],
+                               np.asarray(st_w)[:, :true_len - halo],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ed_s)[:, :true_len - halo],
+                               np.asarray(ed_w)[:, :true_len - halo],
+                               rtol=1e-5, atol=1e-6)
+    # the halo difference exists but is bounded (pad-row uniform attention)
+    halo_diff = np.abs(np.asarray(st_s)[:, true_len - halo:true_len]
+                       - np.asarray(st_w)[:, true_len - halo:true_len]).max()
+    assert halo_diff < 0.5, halo_diff
+
+
 def test_cosine_scores_ignore_masked_clips(rng):
     q = jnp.asarray(rng.normal(size=(3, HID)), dtype=jnp.float32)
     f = jnp.asarray(rng.normal(size=(4, LC, HID)), dtype=jnp.float32)

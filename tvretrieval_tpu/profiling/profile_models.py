@@ -143,6 +143,81 @@ class ProfileXML:
         return results
 
 
+class ProfileXMLTrain:
+    """Flagship XML train-step timing + full-TVR wall-clock extrapolation.
+
+    Reference headline: ~4h training on 1x RTX 2080Ti, early stop ~epoch 60
+    (README.md:130, BASELINE.md). TVR train split: 87,175 queries, bsz 128
+    -> 681 steps/epoch.
+    """
+
+    def __init__(self, bsz: int = 128, hidden: int = 256, n_clips: int = 100,
+                 visual_dim: int = 3074, sub_dim: int = 770, query_dim: int = 768):
+        import optax
+
+        from tvretrieval_tpu.models.xml import XML, XMLConfig
+        from tvretrieval_tpu.training.optimization import bert_adam, no_decay_mask
+
+        self.bsz = bsz
+        rng = np.random.default_rng(0)
+        self.batch = {
+            "query_feat": jnp.asarray(rng.normal(size=(bsz, 30, query_dim)), jnp.float32),
+            "query_mask": jnp.ones((bsz, 30), jnp.float32),
+            "video_feat": jnp.asarray(rng.normal(size=(bsz, n_clips, visual_dim)), jnp.float32),
+            "video_mask": jnp.ones((bsz, n_clips), jnp.float32),
+            "sub_feat": jnp.asarray(rng.normal(size=(bsz, n_clips, sub_dim)), jnp.float32),
+            "sub_mask": jnp.ones((bsz, n_clips), jnp.float32),
+            "st_ed_indices": jnp.asarray(rng.integers(0, 50, (bsz, 2)), jnp.int32),
+        }
+        cfg = XMLConfig(ctx_mode="video_sub", visual_input_size=visual_dim,
+                        sub_input_size=sub_dim, query_input_size=query_dim,
+                        hidden_size=hidden, n_heads=4, max_ctx_l=n_clips,
+                        max_desc_l=30)
+        model = XML(cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+             "negatives": jax.random.PRNGKey(2)}, **self.batch,
+            deterministic=True)
+        self.params = variables["params"]
+        tx = bert_adam(lr=1e-4, t_total=681 * 100, warmup=0.01,
+                       decay_mask=no_decay_mask(self.params))
+        self.opt_state = tx.init(self.params)
+
+        @jax.jit
+        def step(params, opt_state, batch, rng):
+            k1, k2, rng = jax.random.split(rng, 3)
+
+            def loss_fn(p):
+                loss, _ = model.apply({"params": p}, **batch,
+                                      lw_st_ed=jnp.float32(0.01),
+                                      neg_sample_upper=jnp.int32(bsz),
+                                      deterministic=False,
+                                      rngs={"dropout": k1, "negatives": k2})
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, rng, loss
+
+        self._step = step
+
+    def profile(self, steps_per_epoch: int = 681, n_epochs: int = 60) -> Dict[str, float]:
+        rng = jax.random.PRNGKey(0)
+
+        def one():
+            _, _, _, loss = self._step(self.params, self.opt_state,
+                                       self.batch, rng)
+            return loss
+
+        t = time_stage(one, n_warmup=2, n_runs=5)
+        return {
+            "train_step_s": t,
+            "examples_per_sec": self.bsz / t,
+            "epoch_s_extrapolated": t * steps_per_epoch,
+            "full_train_hours_extrapolated": t * steps_per_epoch * n_epochs / 3600,
+        }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="XML stage profiler")
     parser.add_argument("--n_videos", type=int, default=2000)
@@ -152,7 +227,14 @@ def main(argv=None):
     parser.add_argument("--extrapolate_videos", type=int, default=1000000)
     parser.add_argument("--trace_dir", type=str, default=None,
                         help="write a jax.profiler trace here")
+    parser.add_argument("--train", action="store_true",
+                        help="profile the flagship train step instead")
     args = parser.parse_args(argv)
+
+    if args.train:
+        results = ProfileXMLTrain().profile()
+        print(json.dumps(results, indent=2))
+        return results
 
     prof = ProfileXML(n_videos=args.n_videos, n_clips=args.n_clips,
                       hidden=args.hidden, query_bsz=args.query_bsz)
