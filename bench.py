@@ -31,8 +31,19 @@ N_ITERS = 10
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: first-ever compile of the scoring program
+    # takes minutes over the remote-compile relay; subsequent runs are fast
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/tvr_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from tvretrieval_tpu.models.xml import XML, XMLConfig
     from tvretrieval_tpu.retrieval.engine import RetrievalConfig, _score_query_batch
