@@ -31,9 +31,7 @@ import numpy as np
 from tvretrieval_tpu.data.datasets import CorpusIndex, ExampleBuilder
 from tvretrieval_tpu.models.xml import XML, cosine_video_scores
 from tvretrieval_tpu.ops.masking import mask_logits
-from tvretrieval_tpu.ops.span import (
-    banded_top_spans_from_probs, banded_topk_spans, flat_topk_spans,
-    min_max_length_mask, top_spans_from_probs)
+from tvretrieval_tpu.ops.span import banded_top_spans_from_probs, banded_topk_spans
 
 
 @dataclass(frozen=True)
@@ -144,8 +142,6 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
         and c.span_predictor_type == "conv"
     up = lambda x: None if x is None else x.astype(f32)
 
-    L = ctx_mask.shape[-1]
-    length_mask = jnp.asarray(min_max_length_mask(L, cfg.min_pred_l, cfg.max_pred_l))
     V = cfg.max_vcmr_video
 
     if fast:
