@@ -150,6 +150,30 @@ def test_differential_vs_reference_evaluator():
                     f"trial {trial} task {task} key {key}: ours={ours[task][key]} ref={val}")
 
 
+def test_array_path_matches_dict_path():
+    """eval_retrieval_arrays must equal eval_retrieval on the same data."""
+    from tvretrieval_tpu.evaluation.metrics import eval_retrieval_arrays
+    rng = np.random.default_rng(13)
+    submission, gt = _make_synthetic_case(rng, n_videos=20, n_desc=30, n_pred=40)
+
+    def to_arrays(task):
+        entries = {e["desc_id"]: e for e in submission[task]}
+        vid = np.stack([[p[0] for p in entries[g["desc_id"]]["predictions"]]
+                        for g in gt]).astype(np.int64)
+        spans = np.stack([[p[1:3] for p in entries[g["desc_id"]]["predictions"]]
+                          for g in gt]).astype(np.float32)
+        return vid, spans
+
+    vcmr = to_arrays("VCMR")
+    svmr = to_arrays("SVMR")
+    vr = to_arrays("VR")[0]
+    ours = eval_retrieval_arrays(gt, submission["video2idx"],
+                                 vcmr=vcmr, svmr=svmr, vr=vr)
+    ref = eval_retrieval(submission, gt)
+    for task in ("VCMR", "SVMR", "VR", "VCMR_by_type", "SVMR_by_type", "VR_by_type"):
+        assert dict(ours[task]) == dict(ref[task]), task
+
+
 def test_differential_didemo_multi_ts():
     """Multi-annotation (DiDeMo) branch parity: >=2 overlaps required."""
     ref = _load_reference_eval()

@@ -235,6 +235,99 @@ def eval_retrieval(
     return results
 
 
+def eval_retrieval_arrays(
+    gt_rows: List[dict],
+    video2idx: Dict[str, int],
+    vcmr: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    svmr: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    vr: Optional[np.ndarray] = None,
+    iou_thds: Sequence[float] = _IOU_THDS,
+    recall_topks: Sequence[int] = _RECALL_TOPKS,
+    max_pred_per_query: int = 100,
+    use_desc_type: bool = True,
+) -> OrderedDict:
+    """Array-path evaluator: same metrics as eval_retrieval without building
+    per-query prediction dicts (the in-training eval hot path).
+
+    Args:
+        gt_rows: ground-truth rows ALIGNED with the array rows (row i of each
+            array holds query gt_rows[i]'s ranked predictions).
+        vcmr / svmr: (vid_idx (N, K) int, spans (N, K, 2) float seconds).
+        vr: vid_idx (N, K) int.
+
+    Exactness vs the dict path is pinned by a test comparing both on the
+    same predictions. Multi-annotation (DiDeMo) rows are not supported here
+    — use the dict path for those.
+    """
+    gt_vid = np.asarray([video2idx[r["vid_name"]] for r in gt_rows])
+    gt_spans = np.asarray([r["ts"] for r in gt_rows], dtype=np.float32)
+    desc_types = np.asarray(
+        [DESC_TYPES.index(r.get("type", "v")) for r in gt_rows], dtype=np.int32)
+
+    def iou_matrix(spans):
+        st, ed = spans[..., 0], spans[..., 1]
+        g_st, g_ed = gt_spans[:, None, 0], gt_spans[:, None, 1]
+        inter = np.maximum(0.0, np.minimum(ed, g_ed) - np.maximum(st, g_st))
+        union = np.maximum(ed, g_ed) - np.minimum(st, g_st)
+        return np.divide(inter, union, out=np.zeros_like(inter), where=union != 0)
+
+    results: OrderedDict = OrderedDict()
+    by_type: OrderedDict = OrderedDict()
+
+    def type_breakdown(prefix_fn):
+        out = OrderedDict()
+        for dt_idx, dt in enumerate(DESC_TYPES):
+            sel = desc_types == dt_idx
+            n_in_type = max(int(sel.sum()), 1)
+            for key, hit in prefix_fn():
+                out[f"{dt}-{key}"] = _round_pct(float((hit & sel).sum()) / n_in_type)
+        n = max(len(desc_types), 1)
+        ratios = [_round_pct(float((desc_types == i).sum()) / n)
+                  for i in range(len(DESC_TYPES))]
+        out["desc_type_ratio"] = "v {} t {} vt {}".format(*ratios)
+        return out
+
+    for task, data in (("VCMR", vcmr), ("SVMR", svmr)):
+        if data is None:
+            continue
+        vid_idx, spans = data
+        vid_idx = np.asarray(vid_idx)[:, :max_pred_per_query]
+        spans = np.asarray(spans)[:, :max_pred_per_query]
+        match = vid_idx == gt_vid[:, None]
+        iou = iou_matrix(spans) * match
+        metrics = OrderedDict()
+        hits = []
+        for thd in iou_thds:
+            correct = iou >= thd
+            for k in recall_topks:
+                if task == "VCMR":
+                    hit = _recall_at_k(correct, k)
+                else:
+                    hit = _svmr_rank_restricted(correct, match, k)
+                metrics[f"{thd}-r{k}"] = _round_pct(hit.mean())
+                hits.append((f"{thd}-r{k}", hit))
+        results[task] = metrics
+        if use_desc_type:
+            by_type[task + "_by_type"] = type_breakdown(lambda h=hits: h)
+
+    if vr is not None:
+        vid_idx = np.asarray(vr)[:, :max_pred_per_query]
+        match = vid_idx == gt_vid[:, None]
+        metrics = OrderedDict()
+        hits = []
+        for k in recall_topks:
+            hit = _recall_at_k(match, k)
+            metrics[f"r{k}"] = _round_pct(hit.mean())
+            hits.append((f"r{k}", hit))
+        results["VR"] = metrics
+        if use_desc_type:
+            by_type["VR_by_type"] = type_breakdown(lambda h=hits: h)
+
+    if use_desc_type:
+        results.update(by_type)
+    return results
+
+
 def eval_main(argv: Optional[List[str]] = None) -> OrderedDict:
     """CLI mirroring reference eval.py:279-296."""
     import argparse

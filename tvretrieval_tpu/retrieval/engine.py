@@ -239,12 +239,15 @@ def load_external_vr_submission(path: str, corpus: CorpusIndex,
 def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
              query_rows: List[dict], corpus: CorpusIndex, cfg: RetrievalConfig,
              tasks: Sequence[str] = ("VCMR", "SVMR", "VR"),
-             external_vr_path: Optional[str] = None) -> Dict[str, list]:
+             external_vr_path: Optional[str] = None,
+             return_arrays: bool = False) -> Dict[str, list]:
     """Score all queries against the cached corpus; return submission dict
     entries per task (reference compute_query2ctx_info, inference.py:252-445).
 
     external_vr_path: optional VR submission whose top videos/scores replace
     the internal video ranking (reference --external_inference_vr_res_path).
+    return_arrays: return row-aligned numpy arrays for
+    eval_retrieval_arrays instead of prediction dicts (per-epoch eval path).
     """
     do_svmr = "SVMR" in tasks
     vid2meta = {m["vid_name"]: i for i, m in enumerate(cache.metas)}
@@ -299,6 +302,30 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
     vcmr_st_sec = res["vcmr_st"].astype(np.float64) * c
     vcmr_ed_sec = (res["vcmr_ed"].astype(np.float64) + 1) * c
 
+    if return_arrays:
+        # fast eval path: skip per-query dict building entirely; arrays are
+        # row-aligned with query_rows (consumed by eval_retrieval_arrays and
+        # convertible to a submission via arrays_to_submission)
+        out = {}
+        if "VCMR" in tasks:
+            out["VCMR"] = (vcmr_video_idx,
+                           np.stack([vcmr_st_sec, vcmr_ed_sec], axis=-1),
+                           res["vcmr_scores"])
+        if do_svmr:
+            gt_vid = np.asarray([corpus.video2idx[r["vid_name"]]
+                                 for r in query_rows])
+            svmr_vid = np.broadcast_to(gt_vid[:, None], res["svmr_st"].shape)
+            svmr_spans = np.stack(
+                [res["svmr_st"].astype(np.float64) * c,
+                 (res["svmr_ed"].astype(np.float64) + 1) * c], axis=-1)
+            out["SVMR"] = (svmr_vid, svmr_spans, res["svmr_scores"])
+        if "VR" in tasks:
+            out["VR"] = (topv_video_idx,
+                         np.zeros_like(topv_video_idx[..., None],
+                                       dtype=np.float64).repeat(2, -1),
+                         res["topv_scores"])
+        return out
+
     for qi, row in enumerate(query_rows):
         head = dict(desc_id=row["desc_id"], desc=row.get("desc", ""))
         if "VR" in tasks:
@@ -325,4 +352,24 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
         out["SVMR"] = svmr_res
     if vr_res:
         out["VR"] = vr_res
+    return out
+
+
+def arrays_to_submission(arrays: Dict[str, tuple], query_rows: List[dict],
+                         top_n: int = 100) -> Dict[str, list]:
+    """Convert retrieve(return_arrays=True) output into submission dicts
+    (only done for the best epoch / final inference)."""
+    out: Dict[str, list] = {}
+    for task, (vid, spans, scores) in arrays.items():
+        entries = []
+        for qi, row in enumerate(query_rows):
+            entries.append({
+                "desc_id": row["desc_id"], "desc": row.get("desc", ""),
+                "predictions": [
+                    [int(v), float(st), float(ed), float(s)]
+                    for v, (st, ed), s in zip(vid[qi, :top_n],
+                                              spans[qi, :top_n],
+                                              scores[qi, :top_n])],
+            })
+        out[task] = entries
     return out

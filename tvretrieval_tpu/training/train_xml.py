@@ -196,6 +196,36 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
     return metrics, metrics_nms, paths
 
 
+def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
+                            args, tasks):
+    """Array-path per-epoch eval: no prediction dicts, no files. Returns
+    (metrics, arrays); build a submission from arrays only when needed
+    (best epoch). Falls back to nothing special — DiDeMo multi-annotation
+    rows need the dict path."""
+    from tvretrieval_tpu.evaluation.metrics import eval_retrieval_arrays
+    from tvretrieval_tpu.retrieval.engine import (
+        RetrievalConfig, encode_corpus, retrieve)
+
+    rcfg = RetrievalConfig(
+        q2c_alpha=args.q2c_alpha, min_pred_l=args.min_pred_l,
+        max_pred_l=args.max_pred_l, max_before_nms=args.max_before_nms,
+        max_vcmr_video=min(args.max_vcmr_video, len(corpus)),
+        query_bsz=args.eval_query_bsz,
+        context_bsz=args.eval_context_bsz, clip_length=args.clip_length)
+    cache = encode_corpus(model, variables, builder, corpus, rcfg)
+    arrays = retrieve(model, variables, builder, cache, eval_rows, corpus,
+                      rcfg, tasks=tasks, return_arrays=True,
+                      external_vr_path=getattr(
+                          args, "external_inference_vr_res_path", None))
+    metrics = eval_retrieval_arrays(
+        eval_rows, corpus.video2idx,
+        vcmr=arrays["VCMR"][:2] if "VCMR" in arrays else None,
+        svmr=arrays["SVMR"][:2] if "SVMR" in arrays else None,
+        vr=arrays["VR"][0] if "VR" in arrays else None,
+        use_desc_type=args.dset_name == "tvr")
+    return metrics, arrays
+
+
 def start_training(argv: Optional[List[str]] = None) -> dict:
     from tvretrieval_tpu.models.xml import XMLConfig
     from tvretrieval_tpu.parallel.mesh import make_mesh
@@ -306,9 +336,16 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
             continue
 
         eval_losses = trainer.eval_loss_epoch(eval_rows, epoch)
-        metrics, _, latest_paths = evaluate_retrieval(
-            trainer.model, trainer.variables(), builder, corpus, eval_rows, args,
-            tasks=settings.eval_tasks, results_dir=results_dir, tag="latest")
+        if args.dset_name == "didemo":  # multi-annotation rows need dict path
+            metrics, _, _ = evaluate_retrieval(
+                trainer.model, trainer.variables(), builder, corpus,
+                eval_rows, args, tasks=settings.eval_tasks,
+                results_dir=results_dir, tag="latest")
+            eval_arrays = None
+        else:
+            metrics, eval_arrays = evaluate_retrieval_fast(
+                trainer.model, trainer.variables(), builder, corpus,
+                eval_rows, args, tasks=settings.eval_tasks)
         eval_log.write(f"[epoch {epoch}] {json.dumps(metrics)}\n")
         eval_log.flush()
         if eval_losses:
@@ -331,9 +368,15 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
             best_metrics = metrics
             save_checkpoint(ckpt_dir, trainer.params, trainer.opt_state,
                             model_cfg, epoch)
-            for src in latest_paths:
-                dst = src.replace("latest", "best")
-                os.replace(src, dst)
+            if eval_arrays is not None:
+                from tvretrieval_tpu.evaluation.submission import submission_top_n
+                from tvretrieval_tpu.retrieval.engine import arrays_to_submission
+                submission = arrays_to_submission(eval_arrays, eval_rows)
+                submission["video2idx"] = corpus.video2idx
+                save_json(submission_top_n(submission, 100),
+                          os.path.join(results_dir, "best_predictions.json"))
+                save_json(metrics, os.path.join(
+                    results_dir, "best_predictions_metrics.json"), pretty=True)
         else:
             es_cnt += 1
             if args.max_es_cnt != -1 and es_cnt > args.max_es_cnt:
