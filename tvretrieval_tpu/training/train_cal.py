@@ -161,9 +161,13 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     trainer = GenericTrainer(model, tx, build_fn, train_rows, args.bsz,
                              args.seed, loss_apply=loss_apply, rng_names=())
 
+    from tvretrieval_tpu.utils.logging import MetricsLogger
+    metrics_logger = MetricsLogger(results_dir)
     prev_best, es_cnt, best_metrics = -1.0, 0, None
     for epoch in range(args.n_epoch):
         losses = trainer.train_epoch(epoch)
+        metrics_logger.scalars("train", losses,
+                               (epoch + 1) * trainer.steps_per_epoch)
         logger.info("epoch %d loss %.4f", epoch, losses["loss"])
         if not eval_rows:
             continue
@@ -192,6 +196,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
             if args.max_es_cnt != -1 and es_cnt > args.max_es_cnt:
                 logger.info("early stop at epoch %d", epoch)
                 break
+    metrics_logger.close()
     return {"results_dir": results_dir, "best_metrics": best_metrics}
 
 

@@ -123,9 +123,13 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     trainer = GenericTrainer(model, tx, build_fn, train_rows, args.bsz,
                              args.seed, rng_names=("dropout",))
 
+    from tvretrieval_tpu.utils.logging import MetricsLogger
+    metrics_logger = MetricsLogger(results_dir)
     prev_best, es_cnt, best_metrics = -1.0, 0, None
     for epoch in range(args.n_epoch):
         losses = trainer.train_epoch(epoch)
+        metrics_logger.scalars("train", losses,
+                               (epoch + 1) * trainer.steps_per_epoch)
         logger.info("epoch %d loss %.4f", epoch, losses["loss"])
         if not eval_rows:
             continue
@@ -168,6 +172,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
         save_json(metrics, os.path.join(
             results_dir, "vcmr_external_predictions_metrics.json"), pretty=True)
         logger.info("VCMR (external VR): %s", json.dumps(metrics.get("VCMR", {})))
+    metrics_logger.close()
     return {"results_dir": results_dir, "best_metrics": best_metrics}
 
 
