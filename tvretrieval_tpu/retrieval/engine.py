@@ -258,6 +258,8 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
                 if external_vr_path else None)
 
     n_q = len(query_rows)
+    if n_q == 0:
+        return {}
     bsz = min(cfg.query_bsz, n_q)
     collected = []
     for i in range(0, n_q, bsz):

@@ -150,19 +150,31 @@ class XMLTrainer:
         it.epoch = epoch
         prefetch = DevicePrefetcher(it, build_fn=self._build, put_fn=self._put)
         # keep per-step losses on device; one transfer at epoch end (a host
-        # sync per step would serialize the TPU pipeline)
+        # sync per step would serialize the TPU pipeline). Phase timers mirror
+        # the reference's per-epoch dataloading/forward meters (train.py:51-58)
+        # — note dispatch is async, so step time covers dispatch only.
         step_losses = []
+        data_wait = AverageMeter()
+        dispatch = AverageMeter()
+        t0 = time.time()
         for batch in prefetch:
+            t1 = time.time()
+            data_wait.update(t1 - t0)
             self.params, self.opt_state, self.rng, loss, loss_dict = self._step(
                 self.params, self.opt_state, batch, self.rng, lw, neg_upper)
             self.global_step += 1
             step_losses.append(loss_dict)
+            t0 = time.time()
+            dispatch.update(t0 - t1)
         meters = {k: AverageMeter() for k in
                   ("loss_st_ed", "loss_neg_ctx", "loss_neg_q", "loss_overall")}
         for loss_dict in jax.device_get(step_losses):
             for k, v in loss_dict.items():
                 meters[k].update(float(v))
-        return {k: m.avg for k, m in meters.items()}
+        out = {k: m.avg for k, m in meters.items()}
+        out["time/data_wait_s"] = data_wait.avg
+        out["time/step_dispatch_s"] = dispatch.avg
+        return out
 
     def eval_loss_epoch(self, eval_rows: List[dict], epoch: int) -> Dict[str, float]:
         lw, neg_upper = self._schedule(epoch)
