@@ -21,8 +21,8 @@ Design notes (TPU-first):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

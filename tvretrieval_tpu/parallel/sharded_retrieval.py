@@ -20,8 +20,6 @@ collectives ride ICI, and the host sees a single jitted call.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,8 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from tvretrieval_tpu.models.xml import XML
-from tvretrieval_tpu.ops.span import (
-    banded_top_spans_from_probs, banded_topk_spans, min_max_length_mask)
+from tvretrieval_tpu.ops.span import banded_top_spans_from_probs, banded_topk_spans
 
 
 def shard_corpus_cache(cache, mesh: Mesh):

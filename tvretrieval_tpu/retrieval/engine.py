@@ -22,14 +22,14 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from tvretrieval_tpu.data.datasets import CorpusIndex, ExampleBuilder
-from tvretrieval_tpu.models.xml import XML, cosine_video_scores
+from tvretrieval_tpu.models.xml import XML
 from tvretrieval_tpu.ops.masking import mask_logits
 from tvretrieval_tpu.ops.span import banded_top_spans_from_probs, banded_topk_spans
 

@@ -14,10 +14,9 @@ DevicePrefetcher, and the whole optimizer update runs on device.
 """
 from __future__ import annotations
 
-import functools
 import time
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
