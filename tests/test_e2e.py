@@ -114,6 +114,35 @@ def test_external_vr_mode(tiny_world, tmp_path):
         assert got <= allowed, f"query {qi}: videos outside external VR list"
 
 
+def test_no_gt_split_submission_only(tiny_world, tmp_path):
+    """test_public-style rows (no ts/vid_name) -> submission written, SVMR
+    dropped, no metrics (reference inference.py:494-503)."""
+    import argparse
+    import os
+    from tvretrieval_tpu.training.train_xml import evaluate_retrieval
+    world = tiny_world
+    builder = _builder(world)
+    cfg = _model_cfg(world, builder)
+    settings = TrainSettings(lr=1e-4, n_epoch=1, bsz=8, seed=5)
+    trainer = XMLTrainer(cfg, settings, builder, world.annotations[:16], mesh=None)
+    rows = [{"desc_id": r["desc_id"], "desc": r["desc"]}
+            for r in world.annotations[:6]]
+    args = argparse.Namespace(
+        q2c_alpha=20.0, min_pred_l=1, max_pred_l=10, max_before_nms=40,
+        max_vcmr_video=8, eval_query_bsz=6, eval_context_bsz=12,
+        clip_length=world.clip_length, dset_name="tvr", nms_thd=0.5)
+    metrics, metrics_nms, paths = evaluate_retrieval(
+        trainer.model, trainer.variables(), builder, world.corpus, rows, args,
+        tasks=("VCMR", "SVMR", "VR"), results_dir=str(tmp_path), tag="test",
+        apply_nms=True)
+    assert metrics is None and metrics_nms is None
+    assert os.path.exists(paths[0])
+    import json
+    sub = json.load(open(paths[0]))
+    assert "VCMR" in sub and "VR" in sub and "SVMR" not in sub
+    assert len(paths) == 2  # submission + nms submission, no metric files
+
+
 def test_checkpoint_roundtrip(tiny_world, tmp_path):
     import jax
     world = tiny_world

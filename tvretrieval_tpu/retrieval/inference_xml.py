@@ -77,6 +77,10 @@ def start_inference(argv: Optional[List[str]] = None) -> dict:
         model, {"params": params}, builder, corpus, eval_rows, args,
         tasks=tuple(cli.tasks), results_dir=cli.model_dir, tag=tag,
         apply_nms=args.nms_thd != -1)
+    if metrics is None:
+        logger.info("no ground truth for split %s: wrote submission only (%s)",
+                    args.eval_split_name, paths[0])
+        return {"metrics": None, "metrics_nms": None, "files": paths}
     logger.info("metrics: %s", json.dumps(
         {t: metrics[t] for t in cli.tasks if t in metrics}, indent=2))
     if metrics_nms:

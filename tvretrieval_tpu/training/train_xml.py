@@ -164,6 +164,12 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
         max_vcmr_video=min(args.max_vcmr_video, len(corpus)),
         query_bsz=args.eval_query_bsz,
         context_bsz=args.eval_context_bsz, clip_length=args.clip_length)
+    # test_public rows carry no GT (no ts/vid_name): generate the submission
+    # only, drop SVMR, skip metrics (reference inference.py:494-503)
+    has_gt = bool(eval_rows) and "ts" in eval_rows[0]
+    if not has_gt:
+        tasks = tuple(t for t in tasks if t != "SVMR")
+
     cache = encode_corpus(model, variables, builder, corpus, rcfg)
     raw = retrieve(model, variables, builder, cache,
                    eval_rows, corpus, rcfg, tasks=tasks,
@@ -174,12 +180,14 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
     submission = submission_top_n(raw, top_n=100)
     sub_path = os.path.join(results_dir, f"{tag}_predictions.json")
     save_json(submission, sub_path)
-    metrics = eval_retrieval(submission, eval_rows,
-                             use_desc_type=args.dset_name == "tvr")
-    save_json(metrics, sub_path.replace(".json", "_metrics.json"), pretty=True)
-    paths = [sub_path, sub_path.replace(".json", "_metrics.json")]
+    paths = [sub_path]
+    metrics = metrics_nms = None
+    if has_gt:
+        metrics = eval_retrieval(submission, eval_rows,
+                                 use_desc_type=args.dset_name == "tvr")
+        save_json(metrics, sub_path.replace(".json", "_metrics.json"), pretty=True)
+        paths.append(sub_path.replace(".json", "_metrics.json"))
 
-    metrics_nms = None
     if apply_nms and args.nms_thd != -1:
         after = {"video2idx": raw["video2idx"]}
         for task, fn in POST_PROCESSING_NMS_FUNC.items():
@@ -189,10 +197,13 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
                                  max_after_nms=100)
         nms_path = sub_path.replace(".json", f"_nms_thd_{args.nms_thd}.json")
         save_json(after, nms_path)
-        metrics_nms = eval_retrieval(after, eval_rows,
-                                     use_desc_type=args.dset_name == "tvr")
-        save_json(metrics_nms, nms_path.replace(".json", "_metrics.json"), pretty=True)
-        paths += [nms_path, nms_path.replace(".json", "_metrics.json")]
+        paths.append(nms_path)
+        if has_gt:
+            metrics_nms = eval_retrieval(after, eval_rows,
+                                         use_desc_type=args.dset_name == "tvr")
+            save_json(metrics_nms, nms_path.replace(".json", "_metrics.json"),
+                      pretty=True)
+            paths.append(nms_path.replace(".json", "_metrics.json"))
     return metrics, metrics_nms, paths
 
 
