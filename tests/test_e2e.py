@@ -114,6 +114,22 @@ def test_external_vr_mode(tiny_world, tmp_path):
         assert got <= allowed, f"query {qi}: videos outside external VR list"
 
 
+def test_bfloat16_training_learns(tiny_world):
+    """bf16 compute dtype: loss decreases, outputs finite (mixed precision:
+    params fp32, matmuls bf16 with fp32 accumulation)."""
+    world = tiny_world
+    builder = _builder(world)
+    cfg = _model_cfg(world, builder)
+    cfg = XMLConfig(**{**cfg.__dict__, "dtype_str": "bfloat16"})
+    settings = TrainSettings(lr=5e-4, n_epoch=4, bsz=16, lw_st_ed=0.02, seed=7)
+    trainer = XMLTrainer(cfg, settings, builder, world.annotations, mesh=None)
+    first = trainer.train_epoch(0)
+    for epoch in range(1, 4):
+        last = trainer.train_epoch(epoch)
+    assert np.isfinite(last["loss_overall"])
+    assert last["loss_overall"] < first["loss_overall"]
+
+
 def test_no_gt_split_submission_only(tiny_world, tmp_path):
     """test_public-style rows (no ts/vid_name) -> submission written, SVMR
     dropped, no metrics (reference inference.py:494-503)."""

@@ -152,7 +152,8 @@ class ProfileXMLTrain:
     """
 
     def __init__(self, bsz: int = 128, hidden: int = 256, n_clips: int = 100,
-                 visual_dim: int = 3074, sub_dim: int = 770, query_dim: int = 768):
+                 visual_dim: int = 3074, sub_dim: int = 770, query_dim: int = 768,
+                 dtype_str: str = "float32"):
         import optax
 
         from tvretrieval_tpu.models.xml import XML, XMLConfig
@@ -172,7 +173,7 @@ class ProfileXMLTrain:
         cfg = XMLConfig(ctx_mode="video_sub", visual_input_size=visual_dim,
                         sub_input_size=sub_dim, query_input_size=query_dim,
                         hidden_size=hidden, n_heads=4, max_ctx_l=n_clips,
-                        max_desc_l=30)
+                        max_desc_l=30, dtype_str=dtype_str)
         model = XML(cfg)
         variables = model.init(
             {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
@@ -229,10 +230,12 @@ def main(argv=None):
                         help="write a jax.profiler trace here")
     parser.add_argument("--train", action="store_true",
                         help="profile the flagship train step instead")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args(argv)
 
     if args.train:
-        results = ProfileXMLTrain().profile()
+        results = ProfileXMLTrain(dtype_str=args.dtype).profile()
         print(json.dumps(results, indent=2))
         return results
 
