@@ -1,0 +1,77 @@
+"""Streaming (host-resident corpus) retrieval must match the in-HBM engine."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvretrieval_tpu.data.datasets import ExampleBuilder
+from tvretrieval_tpu.data.synthetic import make_synthetic_world
+from tvretrieval_tpu.models.xml import XML, XMLConfig
+from tvretrieval_tpu.retrieval.engine import (
+    RetrievalConfig, _score_query_batch, encode_corpus)
+from tvretrieval_tpu.retrieval.streaming import (
+    host_cache_from_device, streaming_score_query_batch)
+
+
+def test_streaming_matches_in_hbm_engine():
+    world = make_synthetic_world(n_videos=23, n_queries=10, vid_dim=16,
+                                 text_dim=12, max_clips=12, seed=21)
+    builder = ExampleBuilder(
+        query_source=world.query_source, video_source=world.video_source,
+        sub_source=world.sub_source, ctx_mode="video_sub_tef",
+        max_desc_l=16, max_ctx_l=12, clip_length=world.clip_length)
+    cfg = XMLConfig(ctx_mode="video_sub", visual_input_size=18,
+                    sub_input_size=14, query_input_size=16, hidden_size=16,
+                    n_heads=4, max_ctx_l=12, max_desc_l=16)
+    model = XML(cfg)
+    b = builder.build_train_batch(world.annotations[:6])
+    batch = {k: jnp.asarray(v) for k, v in b.model_inputs().items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "negatives": jax.random.PRNGKey(2)}, **batch, deterministic=True)
+
+    rcfg = RetrievalConfig(max_vcmr_video=7, max_before_nms=30, min_pred_l=1,
+                           max_pred_l=8, context_bsz=8, query_bsz=6)
+    cache = encode_corpus(model, variables, builder, world.corpus, rcfg)
+    qb = builder.build_query_batch(world.annotations[:6])
+    gt = np.arange(6, dtype=np.int32) % len(world.corpus)
+
+    ref = _score_query_batch(model, variables, rcfg,
+                             jnp.asarray(qb.query_feat), jnp.asarray(qb.query_mask),
+                             cache.video_feat1, cache.video_feat2,
+                             cache.sub_feat1, cache.sub_feat2,
+                             cache.mask, jnp.asarray(gt), True)
+
+    host = host_cache_from_device(cache)
+    out = streaming_score_query_batch(
+        model, variables, rcfg, qb.query_feat, qb.query_mask, host,
+        gt_meta_idx=gt, block_videos=8)  # 3 blocks incl. a padded one
+
+    # top-V videos identical (as sets; merge tie-order may differ)
+    for q in range(6):
+        assert (set(out["topv_idx"][q].tolist())
+                == set(np.asarray(ref["topv_idx"])[q].tolist())), q
+    np.testing.assert_allclose(np.sort(out["topv_scores"], axis=1),
+                               np.sort(np.asarray(ref["topv_scores"]), axis=1),
+                               rtol=1e-5)
+
+    # VCMR spans: same scores; same (video, st, ed) candidate sets
+    np.testing.assert_allclose(out["vcmr_scores"],
+                               np.asarray(ref["vcmr_scores"]), rtol=1e-5)
+    ref_vid_global = np.take_along_axis(np.asarray(ref["topv_idx"]),
+                                        np.asarray(ref["vcmr_vid_local"]), axis=1)
+    out_vid_global = np.take_along_axis(out["topv_idx"], out["vcmr_vid_local"],
+                                        axis=1)
+    for q in range(6):
+        ref_set = set(zip(ref_vid_global[q].tolist(),
+                          np.asarray(ref["vcmr_st"])[q].tolist(),
+                          np.asarray(ref["vcmr_ed"])[q].tolist()))
+        out_set = set(zip(out_vid_global[q].tolist(),
+                          out["vcmr_st"][q].tolist(),
+                          out["vcmr_ed"][q].tolist()))
+        assert len(ref_set & out_set) >= int(0.95 * len(ref_set)), q
+
+    # SVMR identical
+    np.testing.assert_allclose(out["svmr_scores"],
+                               np.asarray(ref["svmr_scores"]), rtol=1e-5)
+    np.testing.assert_array_equal(out["svmr_st"], np.asarray(ref["svmr_st"]))

@@ -1,0 +1,172 @@
+"""Streaming corpus retrieval for corpora larger than HBM.
+
+The reference's profiling extrapolates to a 1M-video corpus
+(profile_main.py:36-53) — at XML's index size (search_time_performance.py:
+230-241) that is ~200GB of clip features, far beyond one chip's HBM. This
+engine keeps the encoded corpus in HOST memory and streams it:
+
+  phase 1 (video ranking): feat1 blocks stream host->HBM double-buffered
+      (async device_put overlaps the previous block's matmul); a running
+      on-device top-V merge tracks the best videos per query.
+  phase 2 (span scoring): only the global top-V (+GT) rows' feat2 are
+      gathered host-side and shipped once — span scoring is identical to
+      the in-HBM engine (exact same results).
+
+Everything numerically matches the in-HBM engine (tested); only the
+residency changes.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvretrieval_tpu.models.xml import XML
+from tvretrieval_tpu.ops.masking import mask_logits
+from tvretrieval_tpu.ops.span import banded_top_spans_from_probs, banded_topk_spans
+
+
+@dataclass
+class HostCorpusCache:
+    """Encoded corpus in host RAM (feat1 pre-normalized, like the HBM cache)."""
+
+    video_feat1: np.ndarray   # (Nv, L, D)
+    video_feat2: np.ndarray
+    sub_feat1: np.ndarray
+    sub_feat2: np.ndarray
+    mask: np.ndarray          # (Nv, L)
+    n_videos: int
+
+
+def host_cache_from_device(cache) -> HostCorpusCache:
+    """Pull an engine CorpusCache into host memory."""
+    g = lambda x: np.asarray(x)
+    return HostCorpusCache(
+        video_feat1=g(cache.video_feat1), video_feat2=g(cache.video_feat2),
+        sub_feat1=g(cache.sub_feat1), sub_feat2=g(cache.sub_feat2),
+        mask=g(cache.mask), n_videos=cache.n_videos)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _encode_queries(model: XML, variables, query_feat, query_mask):
+    """Returns (raw vq, raw sq, normalized vq, normalized sq): normalization
+    is only for the cosine stage; the span query-linear consumes raw vectors
+    (reference model_xml.py:446 vs :459)."""
+    vq, sq = model.apply(variables, query_feat, query_mask,
+                         method=XML.encode_query)
+    norm = lambda q: q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    return vq, sq, norm(vq), norm(sq)
+
+
+@jax.jit
+def _block_scores(vqn, sqn, vf1_block, sf1_block, mask_block):
+    """(Nq, B) fused cosine scores for one streamed block."""
+    def one(qn, feat):
+        s = jnp.einsum("md,nld->mln", qn.astype(feat.dtype), feat,
+                       preferred_element_type=jnp.float32)
+        return mask_logits(s, mask_block.T[None]).max(axis=1)
+
+    return (one(vqn, vf1_block) + one(sqn, sf1_block)) / 2
+
+
+@functools.partial(jax.jit, static_argnames=("top_v",))
+def _merge_topv(best_scores, best_idx, block_scores, block_offset, top_v: int):
+    """Running top-V merge: (Nq, V) state x (Nq, B) new block -> (Nq, V)."""
+    b = block_scores.shape[1]
+    idx = jnp.arange(b, dtype=jnp.int32)[None] + block_offset
+    cat_scores = jnp.concatenate([best_scores, block_scores], axis=1)
+    cat_idx = jnp.concatenate([best_idx, jnp.broadcast_to(idx, block_scores.shape)],
+                              axis=1)
+    new_scores, sel = jax.lax.top_k(cat_scores, top_v)
+    return new_scores, jnp.take_along_axis(cat_idx, sel, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "do_svmr"))
+def _span_stage(model: XML, variables, cfg, vq, sq, vf2_g, sf2_g, mask_g,
+                topv_scores_cos, do_svmr: bool):
+    """Identical span scoring to the in-HBM fast path, on gathered rows."""
+    f32 = jnp.float32
+    st_logits, ed_logits = model.apply(
+        variables, vq, vf2_g.astype(f32), sq, sf2_g.astype(f32), mask_g,
+        method=XML.merged_st_ed_scores_gathered)
+    st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)
+    ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
+    V = cfg.max_vcmr_video
+    topv_exp = jnp.exp(cfg.q2c_alpha * topv_scores_cos)
+    vid_local, st_i, ed_i, scores = banded_topk_spans(
+        st_probs[:, :V], ed_probs[:, :V], topv_exp, cfg.min_pred_l,
+        cfg.max_pred_l, cfg.max_before_nms)
+    out = dict(vcmr_vid_local=vid_local, vcmr_st=st_i, vcmr_ed=ed_i,
+               vcmr_scores=scores, topv_scores=topv_exp)
+    if do_svmr:
+        svmr_st, svmr_ed, svmr_scores = banded_top_spans_from_probs(
+            st_probs[:, V], ed_probs[:, V], cfg.min_pred_l, cfg.max_pred_l,
+            cfg.max_before_nms)
+        out.update(svmr_st=svmr_st, svmr_ed=svmr_ed, svmr_scores=svmr_scores)
+    return out
+
+
+def streaming_score_query_batch(model: XML, variables, cfg,
+                                query_feat, query_mask,
+                                host: HostCorpusCache,
+                                gt_meta_idx: Optional[np.ndarray] = None,
+                                block_videos: int = 2048):
+    """Score one query batch against a host-resident corpus.
+
+    Returns the same dict as the in-HBM engine's _score_query_batch (plus
+    topv_idx), with identical numerics.
+    """
+    do_svmr = gt_meta_idx is not None
+    nq = query_feat.shape[0]
+    V = cfg.max_vcmr_video
+
+    vq, sq, vqn, sqn = _encode_queries(model, variables, jnp.asarray(query_feat),
+                                       jnp.asarray(query_mask))
+
+    # ---- phase 1: stream feat1 blocks, running top-V merge
+    n = host.video_feat1.shape[0]
+    best_scores = jnp.full((nq, V), -jnp.inf, jnp.float32)
+    best_idx = jnp.zeros((nq, V), jnp.int32)
+
+    def blocks():
+        for off in range(0, n, block_videos):
+            end = min(off + block_videos, n)
+            pad = block_videos - (end - off)
+            vf = host.video_feat1[off:end]
+            sf = host.sub_feat1[off:end]
+            mk = host.mask[off:end]
+            if pad:
+                zpad = lambda a: np.concatenate(
+                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+                vf, sf, mk = zpad(vf), zpad(sf), zpad(mk)
+            yield off, (jax.device_put(vf), jax.device_put(sf),
+                        jax.device_put(mk))
+
+    # double-buffer: device_put of the next block overlaps this block's matmul
+    it = blocks()
+    pending = next(it, None)
+    while pending is not None:
+        off, (vf, sf, mk) = pending
+        pending = next(it, None)  # enqueue next host->HBM copy
+        scores = _block_scores(vqn, sqn, vf, sf, mk)
+        best_scores, best_idx = _merge_topv(
+            best_scores, best_idx, scores, jnp.int32(off), V)
+
+    # ---- phase 2: host gather of top-V (+GT) feat2 rows, one shipment
+    top_idx = np.clip(np.asarray(best_idx), 0, n - 1)           # (Nq, V)
+    gather_idx = (np.concatenate([top_idx, np.asarray(gt_meta_idx)[:, None]],
+                                 axis=1) if do_svmr else top_idx)
+    vf2_g = host.video_feat2[gather_idx]                        # (Nq, V[+1], L, D)
+    sf2_g = host.sub_feat2[gather_idx]
+    mask_g = host.mask[gather_idx]
+
+    out = _span_stage(model, variables, cfg, vq, sq,
+                      jnp.asarray(vf2_g), jnp.asarray(sf2_g),
+                      jnp.asarray(mask_g), best_scores, do_svmr)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    out["topv_idx"] = top_idx
+    return out
