@@ -89,6 +89,37 @@ def test_cross_inference_shapes(rng):
     assert float(st[0, 0, int(batch["video_mask"][0].sum())]) < -1e9
 
 
+def test_cat_linear_span_predictor(rng):
+    """cat_linear variant (reference model_xml.py:532-548): additive
+    query-side + context-side linear span logits, in-batch and cross."""
+    batch = make_batch(rng)
+    cfg = small_cfg(span_predictor_type="cat_linear", merge_two_stream=False)
+    model, variables = init_model(cfg, batch)
+    loss, _ = model.apply(
+        variables, **batch, lw_st_ed=jnp.float32(0.01),
+        neg_sample_upper=jnp.int32(6), deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(3), "negatives": jax.random.PRNGKey(4)})
+    assert np.isfinite(float(loss))
+    vf1, vf2, sf1, sf2 = model.apply(
+        variables, batch["video_feat"], batch["video_mask"],
+        batch["sub_feat"], batch["sub_mask"], method=XML.encode_context)
+    q2c, st, ed = model.apply(
+        variables, batch["query_feat"], batch["query_mask"],
+        vf1, vf2, batch["video_mask"], sf1, sf2, batch["sub_mask"],
+        True, method=XML.get_pred_from_raw_query)
+    assert st.shape == (6, 6, LC)
+
+
+def test_no_modular_query(rng):
+    """no_modular: max-pooled single query vector for both streams
+    (reference model_xml.py:406-408)."""
+    batch = make_batch(rng)
+    model, variables = init_model(small_cfg(no_modular=True), batch)
+    vq, sq = model.apply(variables, batch["query_feat"], batch["query_mask"],
+                         method=XML.encode_query)
+    np.testing.assert_array_equal(np.asarray(vq), np.asarray(sq))
+
+
 def test_lstm_encoder_variant(rng):
     batch = make_batch(rng)
     cfg = small_cfg(encoder_type="lstm")
