@@ -90,6 +90,22 @@ def test_flat_topk_spans_unravels_correctly(rng):
         np.testing.assert_allclose(got, best, rtol=1e-6)
 
 
+def test_chunked_masked_max_matches_einsum(rng):
+    from tvretrieval_tpu.ops.span import chunked_masked_max_scores
+    M, Nv, L, D = 5, 19, 8, 16  # Nv not a multiple of block -> padded tail
+    q = jnp.asarray(rng.normal(size=(M, D)), jnp.float32)
+    f = jnp.asarray(rng.normal(size=(Nv, L, D)), jnp.float32)
+    mask = np.ones((Nv, L), np.float32)
+    mask[2, 5:] = 0.0
+    mask[-1] = 0.0
+    mask = jnp.asarray(mask)
+    ours = chunked_masked_max_scores(q, f, mask, block=8)
+    sims = np.einsum("md,nld->mnl", np.asarray(q), np.asarray(f))
+    m = np.asarray(mask)[None]
+    ref = (sims * m + (1 - m) * -1e10).max(axis=2)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-4)
+
+
 def test_banded_topk_matches_dense(rng):
     from tvretrieval_tpu.ops.span import banded_topk_spans, banded_top_spans_from_probs
     nq, v, L, min_l, max_l, topn = 3, 5, 20, 2, 9, 25
