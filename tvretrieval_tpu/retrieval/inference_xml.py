@@ -43,6 +43,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_pred_l", type=int, default=None)
     p.add_argument("--max_before_nms", type=int, default=None)
     p.add_argument("--max_vcmr_video", type=int, default=None)
+    p.add_argument("--external_inference_vr_res_path", type=str, default=None,
+                   help="VR submission JSON replacing internal video ranking")
     p.add_argument("--eval_id", type=str, default="standalone")
     return p
 

@@ -58,6 +58,16 @@ def dissect_by_lengths(arr: np.ndarray, lengths: Sequence[int]) -> List[np.ndarr
     return out
 
 
+_TV_SHOWS = ("friends", "met", "castle", "house", "grey")
+
+
+def get_show_name(vid_name: str) -> str:
+    """TV-show name from a TVR clip name; unprefixed clips are bbt
+    (reference utils/basic_utils.py:172-181)."""
+    prefix = vid_name.split("_")[0]
+    return prefix if prefix in _TV_SHOWS else "bbt"
+
+
 def count_params(params) -> int:
     """Total parameter count of a pytree (reference utils/model_utils.py:91)."""
     import jax
