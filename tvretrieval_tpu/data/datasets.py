@@ -179,6 +179,12 @@ class ExampleBuilder:
             if self.normalize_tfeat:
                 sub_feat = l2_normalize(sub_feat)
             ctx_l = sub_feat.shape[0]
+        if self.use_video and self.use_sub and video_feat.shape[0] != sub_feat.shape[0]:
+            # release features are length-aligned (merge_align_i3d.py); guard
+            # against off-by-a-clip h5 files by truncating to the shorter
+            ctx_l = min(video_feat.shape[0], sub_feat.shape[0])
+            video_feat = video_feat[:ctx_l]
+            sub_feat = sub_feat[:ctx_l]
         if self.use_tef:
             if ctx_l == 0:
                 assert duration is not None, "tef-only mode needs video duration"
