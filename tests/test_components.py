@@ -128,6 +128,20 @@ def test_banded_topk_matches_dense(rng):
                            np.asarray(b_ed)[q].tolist()))
         assert dense_set == band_set
 
+    # two-stage variant equals single-stage (same scores, same span sets)
+    from tvretrieval_tpu.ops.span import banded_topk_spans_two_stage
+    t_vid, t_st, t_ed, t_scores = banded_topk_spans_two_stage(
+        st, ed, vs, min_l, max_l, topn)
+    np.testing.assert_allclose(np.asarray(t_scores), np.asarray(d_scores), rtol=1e-6)
+    for q in range(nq):
+        dense_set = set(zip(np.asarray(d_vid)[q].tolist(),
+                            np.asarray(d_st)[q].tolist(),
+                            np.asarray(d_ed)[q].tolist()))
+        ts_set = set(zip(np.asarray(t_vid)[q].tolist(),
+                         np.asarray(t_st)[q].tolist(),
+                         np.asarray(t_ed)[q].tolist()))
+        assert dense_set == ts_set
+
     # single-video variant vs dense top_spans_from_probs
     st1 = jnp.asarray(rng.uniform(size=(4, L)), jnp.float32)
     ed1 = jnp.asarray(rng.uniform(size=(4, L)), jnp.float32)

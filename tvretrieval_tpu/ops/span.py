@@ -98,6 +98,35 @@ def _band_indices(L: int, min_l: int, max_l: int):
 
 
 @partial(jax.jit, static_argnames=("min_l", "max_l", "top_n"))
+def banded_topk_spans_two_stage(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
+                                video_scores: jnp.ndarray, min_l: int,
+                                max_l: int, top_n: int):
+    """Exact two-stage variant of banded_topk_spans: per-(query, video)
+    top-K over the (L, W) band first (smaller sorts), then a global top-N
+    over V*K candidates. Exact because the global top-N contains at most
+    top_n spans from any one video."""
+    nq, v, L = st_probs.shape
+    idx_np, valid_np, W = _band_indices(L, min_l, max_l)
+    ed_band = ed_probs[:, :, jnp.asarray(idx_np)]                 # (Nq, V, L, W)
+    joint = (st_probs[:, :, :, None] * ed_band
+             * video_scores[:, :, None, None] * jnp.asarray(valid_np)[None, None])
+    k1 = min(top_n, L * W)
+    s1, i1 = jax.lax.top_k(joint.reshape(nq * v, L * W), k1)     # per-video
+    s1 = s1.reshape(nq, v * k1)
+    i1 = i1.reshape(nq, v * k1)
+    scores, sel = jax.lax.top_k(s1, min(top_n, v * k1))
+    if scores.shape[1] < top_n:
+        padw = top_n - scores.shape[1]
+        scores = jnp.pad(scores, ((0, 0), (0, padw)))
+        sel = jnp.pad(sel, ((0, 0), (0, padw)))
+    vid = (sel // k1).astype(jnp.int32)
+    flat = jnp.take_along_axis(i1, sel, axis=1)
+    m = flat // W
+    n = m + min_l + flat % W
+    return vid, m.astype(jnp.int32), n.astype(jnp.int32), scores
+
+
+@partial(jax.jit, static_argnames=("min_l", "max_l", "top_n"))
 def banded_topk_spans(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
                       video_scores: jnp.ndarray, min_l: int, max_l: int,
                       top_n: int):
