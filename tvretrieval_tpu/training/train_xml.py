@@ -101,6 +101,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="limit the data-parallel mesh to this many devices")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint dir to resume params+optimizer state from")
+    p.add_argument("--eval_untrained", action="store_true",
+                   help="evaluate before training (reference epoch -1)")
     p.add_argument("--detect_anomaly", action="store_true",
                    help="enable jax_debug_nans (reference torch detect_anomaly)")
     p.add_argument("--add_pe_rnn", action="store_true")
@@ -329,6 +331,15 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     es_cnt = 0
     best_metrics = None
     ckpt_dir = os.path.join(results_dir, "ckpt")
+
+    if args.eval_untrained and eval_rows:
+        metrics, _ = evaluate_retrieval_fast(
+            trainer.model, trainer.variables(), builder, corpus, eval_rows,
+            args, tasks=settings.eval_tasks)
+        eval_log.write(f"[epoch -1] {json.dumps(metrics)}\n")
+        eval_log.flush()
+        logger.info("untrained eval: %s", json.dumps(
+            {t: metrics[t] for t in settings.eval_tasks if t in metrics}))
 
     for epoch in range(start_epoch, args.n_epoch):
         t0 = time.time()
