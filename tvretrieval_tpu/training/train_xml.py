@@ -349,6 +349,13 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
                         + f" ({time.time() - t0:.1f}s)\n")
         train_log.flush()
         metrics_logger.scalars("train", losses, trainer.global_step)
+        # per-step scalars (reference writes per step, train.py:88-90);
+        # collected on device during the epoch, flushed here
+        base_step = trainer.global_step - len(trainer.last_step_losses)
+        for si, step_loss in enumerate(trainer.last_step_losses):
+            metrics_logger.scalars(
+                "train_step", {k: float(v) for k, v in step_loss.items()},
+                base_step + si + 1)
         logger.info("epoch %d train loss %.4f (%.1fs)", epoch,
                     losses["loss_overall"], time.time() - t0)
 

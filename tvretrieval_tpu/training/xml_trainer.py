@@ -167,7 +167,8 @@ class XMLTrainer:
             dispatch.update(t0 - t1)
         meters = {k: AverageMeter() for k in
                   ("loss_st_ed", "loss_neg_ctx", "loss_neg_q", "loss_overall")}
-        for loss_dict in jax.device_get(step_losses):
+        self.last_step_losses = jax.device_get(step_losses)  # per-step scalars
+        for loss_dict in self.last_step_losses:
             for k, v in loss_dict.items():
                 meters[k].update(float(v))
         out = {k: m.avg for k, m in meters.items()}
