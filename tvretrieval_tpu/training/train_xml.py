@@ -300,6 +300,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
         lw_st_ed=args.lw_st_ed, train_span_start_epoch=args.train_span_start_epoch,
         hard_negative_start_epoch=args.hard_negtiave_start_epoch,
         hard_pool_size=args.hard_pool_size, seed=args.seed,
+        debug_max_steps=4 if args.debug else -1,
         eval_tasks=tuple(args.eval_tasks_at_training), stop_task=args.stop_task)
 
     mesh = make_mesh(args.n_devices)

@@ -46,6 +46,7 @@ class TrainSettings:
     hard_negative_start_epoch: int = 20
     hard_pool_size: int = 20
     grad_clip: float = -1.0          # extra global clip; -1 disables (ref default)
+    debug_max_steps: int = -1        # truncate each epoch (reference --debug)
     seed: int = 2018
     eval_tasks: Sequence[str] = ("VCMR", "SVMR", "VR")
     stop_task: str = "VCMR"
@@ -165,6 +166,8 @@ class XMLTrainer:
             step_losses.append(loss_dict)
             t0 = time.time()
             dispatch.update(t0 - t1)
+            if 0 < self.s.debug_max_steps <= len(step_losses):
+                break  # reference --debug truncates epochs (train.py:96-97)
         meters = {k: AverageMeter() for k in
                   ("loss_st_ed", "loss_neg_ctx", "loss_neg_q", "loss_overall")}
         self.last_step_losses = jax.device_get(step_losses)  # per-step scalars
