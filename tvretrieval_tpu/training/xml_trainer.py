@@ -47,6 +47,7 @@ class TrainSettings:
     hard_pool_size: int = 20
     grad_clip: float = -1.0          # extra global clip; -1 disables (ref default)
     debug_max_steps: int = -1        # truncate each epoch (reference --debug)
+    prefetch_workers: int = 2        # batch-building threads (DataLoader workers)
     seed: int = 2018
     eval_tasks: Sequence[str] = ("VCMR", "SVMR", "VR")
     stop_task: str = "VCMR"
@@ -148,7 +149,8 @@ class XMLTrainer:
         it = BatchIterator(self.train_rows, self.s.bsz, shuffle=True,
                            drop_last=True, seed=self.s.seed)
         it.epoch = epoch
-        prefetch = DevicePrefetcher(it, build_fn=self._build, put_fn=self._put)
+        prefetch = DevicePrefetcher(it, build_fn=self._build, put_fn=self._put,
+                                    n_workers=self.s.prefetch_workers)
         # keep per-step losses on device; one transfer at epoch end (a host
         # sync per step would serialize the TPU pipeline). Phase timers mirror
         # the reference's per-epoch dataloading/forward meters (train.py:51-58)
