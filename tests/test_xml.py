@@ -110,6 +110,62 @@ def test_cat_linear_span_predictor(rng):
     assert st.shape == (6, 6, LC)
 
 
+def test_stack_conv_span_predictor(rng):
+    """Stacked-kernel ConvSE (reference model_xml.py:163-181, 469-480):
+    one conv per kernel size over the merged similarity, combined by a
+    bias-free linear. With a single kernel and identity combine weight it
+    must reduce exactly to the single-conv path."""
+    batch = make_batch(rng)
+    cfg = small_cfg(stack_conv_predictor_conv_kernel_sizes=(3, 5, 7))
+    model, variables = init_model(cfg, batch)
+    loss, _ = model.apply(
+        variables, **batch, lw_st_ed=jnp.float32(0.01),
+        neg_sample_upper=jnp.int32(6), deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(3), "negatives": jax.random.PRNGKey(4)})
+    assert np.isfinite(float(loss))
+    vf1, vf2, sf1, sf2 = model.apply(
+        variables, batch["video_feat"], batch["video_mask"],
+        batch["sub_feat"], batch["sub_mask"], method=XML.encode_context)
+    q2c, st, ed = model.apply(
+        variables, batch["query_feat"], batch["query_mask"],
+        vf1, vf2, batch["video_mask"], sf1, sf2, batch["sub_mask"],
+        True, method=XML.get_pred_from_raw_query)
+    assert st.shape == (6, 6, LC)
+
+    # reduction check: kernel_sizes=(5,) + combine weight 1 == single conv
+    single_model, single_vars = init_model(small_cfg(), batch, seed=7)
+    stack_model = XML(small_cfg(stack_conv_predictor_conv_kernel_sizes=(5,)))
+    stack_vars = stack_model.init(
+        {"params": jax.random.PRNGKey(8), "dropout": jax.random.PRNGKey(1),
+         "negatives": jax.random.PRNGKey(2)}, **batch, deterministic=True)
+    p = jax.tree_util.tree_map(lambda x: x, stack_vars["params"])  # copy
+    sp = single_vars["params"]
+    p["merged_st_predictors_0"] = sp["merged_st_predictor"]
+    p["merged_ed_predictors_0"] = sp["merged_ed_predictor"]
+    p["combine_st_conv"] = {"kernel": jnp.ones((1, 1), jnp.float32)}
+    p["combine_ed_conv"] = {"kernel": jnp.ones((1, 1), jnp.float32)}
+    for k in sp:
+        if k not in ("merged_st_predictor", "merged_ed_predictor"):
+            p[k] = sp[k]
+    args = (batch["query_feat"], batch["query_mask"],
+            vf1, vf2, batch["video_mask"], sf1, sf2, batch["sub_mask"], True)
+
+    def outputs(m, v):
+        vf1_, vf2_, sf1_, sf2_ = m.apply(
+            v, batch["video_feat"], batch["video_mask"],
+            batch["sub_feat"], batch["sub_mask"], method=XML.encode_context)
+        return m.apply(v, batch["query_feat"], batch["query_mask"],
+                       vf1_, vf2_, batch["video_mask"], sf1_, sf2_,
+                       batch["sub_mask"], True,
+                       method=XML.get_pred_from_raw_query)
+
+    ref = outputs(single_model, single_vars)
+    got = outputs(stack_model, {"params": p})
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_no_modular_query(rng):
     """no_modular: max-pooled single query vector for both streams
     (reference model_xml.py:406-408)."""

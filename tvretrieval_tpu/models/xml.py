@@ -65,6 +65,10 @@ class XMLConfig:
     merge_two_stream: bool = True
     cross_att: bool = True
     span_predictor_type: str = "conv"      # "conv" | "cat_linear"
+    # stacked ConvSE variant (reference stack_conv_predictor_conv_kernel_sizes,
+    # model_xml.py:30, 163-181: one conv per kernel size, combined by a
+    # bias-free linear). None = the single-conv default (reference -1).
+    stack_conv_predictor_conv_kernel_sizes: Optional[tuple] = None
     encoder_type: str = "transformer"      # "transformer" | "cnn" | "lstm" | "gru"
     add_pe_rnn: bool = False               # positional embedding for RNN encoders
     visual_input_size: int = 3074          # resnet_i3d 3072 + 2 TEF
@@ -171,8 +175,17 @@ class XML(nn.Module):
             self.cfg.n_streams, use_bias=False, kernel_init=_normal_init(), dtype=dt)
 
         if c.merge_two_stream and c.span_predictor_type == "conv":
-            self.merged_st_predictor = Conv1dSame(c.conv_kernel_size, dt)
-            self.merged_ed_predictor = Conv1dSame(c.conv_kernel_size, dt)
+            if c.stack_conv_predictor_conv_kernel_sizes is None:
+                self.merged_st_predictor = Conv1dSame(c.conv_kernel_size, dt)
+                self.merged_ed_predictor = Conv1dSame(c.conv_kernel_size, dt)
+            else:
+                ks = c.stack_conv_predictor_conv_kernel_sizes
+                self.merged_st_predictors = [Conv1dSame(k, dt) for k in ks]
+                self.merged_ed_predictors = [Conv1dSame(k, dt) for k in ks]
+                self.combine_st_conv = nn.Dense(
+                    1, use_bias=False, kernel_init=_normal_init(), dtype=dt)
+                self.combine_ed_conv = nn.Dense(
+                    1, use_bias=False, kernel_init=_normal_init(), dtype=dt)
 
     def _make_encoder(self):
         c = self.cfg
@@ -263,6 +276,18 @@ class XML(nn.Module):
     def _span_conv(self, st_predictor, ed_predictor, similarity):
         return st_predictor(similarity), ed_predictor(similarity)
 
+    def _merged_span_conv(self, similarity):
+        """Single or stacked merged-stream ConvSE (reference
+        get_merged_st_ed_prob, model_xml.py:469-480: each kernel-size conv
+        runs over the similarity rows; a bias-free linear combines them)."""
+        if self.cfg.stack_conv_predictor_conv_kernel_sizes is None:
+            return (self.merged_st_predictor(similarity),
+                    self.merged_ed_predictor(similarity))
+        st_stack = jnp.stack([p(similarity) for p in self.merged_st_predictors], axis=-1)
+        ed_stack = jnp.stack([p(similarity) for p in self.merged_ed_predictors], axis=-1)
+        return (self.combine_st_conv(st_stack)[..., 0],
+                self.combine_ed_conv(ed_stack)[..., 0])
+
     def merged_st_ed_scores(self, video_query, video_feat2, sub_query, sub_feat2,
                             context_mask, cross: bool = False):
         """Merged-stream span logits (reference get_merged_st_ed_prob :455-502).
@@ -288,7 +313,7 @@ class XML(nn.Module):
                                preferred_element_type=jnp.float32)
             similarity = ((sim_v + sim_s) / 2).astype(video_feat2.dtype)
             mask = context_mask
-        st, ed = self._span_conv(self.merged_st_predictor, self.merged_ed_predictor, similarity)
+        st, ed = self._merged_span_conv(similarity)
         return mask_logits(st, mask), mask_logits(ed, mask)
 
     def merged_st_ed_scores_gathered(self, video_query, video_feat2_g,
@@ -318,8 +343,7 @@ class XML(nn.Module):
         sim_s = jnp.einsum("qd,qvld->qvl", sq, sub_feat2_g,
                            preferred_element_type=jnp.float32)
         similarity = ((sim_v + sim_s) / 2).astype(video_feat2_g.dtype)
-        st = self.merged_st_predictor(similarity)
-        ed = self.merged_ed_predictor(similarity)
+        st, ed = self._merged_span_conv(similarity)
         return mask_logits(st, mask_g), mask_logits(ed, mask_g)
 
     def single_stream_st_ed_scores(self, query, feat2, mask, stream: str, cross: bool = False):
@@ -413,8 +437,9 @@ class XML(nn.Module):
         sim_s = jnp.einsum("bd,bld->bl", sql, sf2,
                            preferred_element_type=jnp.float32)
         similarity = ((sim_v + sim_s) / 2).astype(vf2.dtype)
-        st = mask_logits(self.merged_st_predictor(similarity), video_mask)
-        ed = mask_logits(self.merged_ed_predictor(similarity), video_mask)
+        st_raw, ed_raw = self._merged_span_conv(similarity)
+        st = mask_logits(st_raw, video_mask)
+        ed = mask_logits(ed_raw, video_mask)
         return dict(
             modular_att_scores=att,
             st_prob=jax.nn.softmax(st.astype(jnp.float32), axis=-1),

@@ -66,6 +66,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoder_type", type=str, default="transformer",
                    choices=["transformer", "cnn", "lstm", "gru"])
     p.add_argument("--span_predictor_type", type=str, default="conv", choices=["conv", "cat_linear"])
+    p.add_argument("--stack_conv_predictor_conv_kernel_sizes", type=int,
+                   nargs="+", default=None,
+                   help="stacked ConvSE kernel sizes (reference config.py "
+                        "stack_conv_predictor_conv_kernel_sizes; default single conv)")
     p.add_argument("--no_merge_two_stream", action="store_true")
     p.add_argument("--no_cross_att", action="store_true")
     p.add_argument("--no_modular", action="store_true")
@@ -279,6 +283,9 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
         cross_att=not args.no_cross_att and
             ("video" in args.ctx_mode and "sub" in args.ctx_mode),
         span_predictor_type=args.span_predictor_type,
+        stack_conv_predictor_conv_kernel_sizes=(
+            tuple(args.stack_conv_predictor_conv_kernel_sizes)
+            if args.stack_conv_predictor_conv_kernel_sizes else None),
         encoder_type=args.encoder_type,
         add_pe_rnn=args.add_pe_rnn,
         visual_input_size=(builder.video_source.dim + tef_dims
