@@ -78,6 +78,26 @@ def test_train_then_retrieve_then_eval(tiny_world):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_eval_loss_includes_remainder_batch(tiny_world):
+    """Eval loss must cover ALL rows: a set smaller than bsz still yields a
+    loss dict, and remainder rows contribute to the per-batch average
+    (reference evaluates every DataLoader batch, train.py:178-179)."""
+    world = tiny_world
+    builder = _builder(world)
+    cfg = _model_cfg(world, builder)
+    settings = TrainSettings(lr=1e-4, n_epoch=1, bsz=16, seed=4)
+    trainer = XMLTrainer(cfg, settings, builder, world.annotations[:16], mesh=None)
+
+    small = trainer.eval_loss_epoch(world.annotations[:5], epoch=0)
+    assert small and np.isfinite(small["loss_overall"])
+
+    head = trainer.eval_loss_epoch(world.annotations[:16], epoch=0)
+    tail = trainer.eval_loss_epoch(world.annotations[16:21], epoch=0)
+    full = trainer.eval_loss_epoch(world.annotations[:21], epoch=0)
+    assert full["loss_overall"] == pytest.approx(
+        (head["loss_overall"] + tail["loss_overall"]) / 2, rel=1e-6)
+
+
 def test_external_vr_mode(tiny_world, tmp_path):
     """XML VCMR guided by an external VR submission must only rank videos
     from that submission (reference inference.py:346-355)."""

@@ -479,6 +479,10 @@ class XML(nn.Module):
         bsz = q2ctx.shape[0]
         if neg_sample_upper is None:
             neg_sample_upper = jnp.asarray(bsz)
+        # the sampled negative rank must stay inside the row — the reference
+        # derives the bound from the ACTUAL batch size (model_xml.py:612-615),
+        # which matters for a smaller final eval batch
+        neg_sample_upper = jnp.minimum(neg_sample_upper, bsz)
         key = self.make_rng("negatives") if not deterministic else jax.random.PRNGKey(0)
         loss_neg_ctx, loss_neg_q = video_level_ranking_losses(
             q2ctx.astype(jnp.float32), key, margin=c.margin,

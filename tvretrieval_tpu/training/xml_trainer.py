@@ -94,7 +94,10 @@ class XMLTrainer:
         return {k: jnp.asarray(v) for k, v in b.model_inputs().items()}
 
     def _put(self, batch):
-        sh = batch_sharding(self.mesh)
+        n = next(iter(batch.values())).shape[0]
+        # a remainder eval batch may not divide the mesh: run it replicated
+        sh = (batch_sharding(self.mesh) if n % self.mesh.devices.size == 0
+              else replicate_sharding(self.mesh))
         return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
     # ------------------------------------------------------------------ steps
@@ -182,10 +185,14 @@ class XMLTrainer:
         return out
 
     def eval_loss_epoch(self, eval_rows: List[dict], epoch: int) -> Dict[str, float]:
+        """Per-batch unweighted loss average over ALL eval batches, including
+        the smaller remainder batch (reference evaluates every DataLoader
+        batch, train.py:178-179 with drop_last default False). The remainder
+        batch compiles one extra step shape, cached across epochs."""
         lw, neg_upper = self._schedule(epoch)
         meters = {k: AverageMeter() for k in
                   ("loss_st_ed", "loss_neg_ctx", "loss_neg_q", "loss_overall")}
-        it = BatchIterator(eval_rows, self.s.bsz, shuffle=False, drop_last=True,
+        it = BatchIterator(eval_rows, self.s.bsz, shuffle=False, drop_last=False,
                            seed=self.s.seed)
         if len(it) == 0:
             return {}
