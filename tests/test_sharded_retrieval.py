@@ -62,28 +62,25 @@ def test_sharded_matches_single_device(setup):
     out = score_query_batch_sharded(model, variables, rcfg, qf, qm,
                                     vf1, vf2, sf1, sf2, mask, gt, True, mesh)
 
-    # top-V videos agree as sets, scores agree sorted
-    ref_scores = np.sort(np.asarray(ref["topv_scores"]), axis=1)[:, ::-1]
-    out_scores = np.sort(np.asarray(out["topv_scores"]), axis=1)[:, ::-1]
-    np.testing.assert_allclose(out_scores, ref_scores, rtol=1e-5)
-    for q in range(6):
-        assert set(np.asarray(out["topv_idx"])[q].tolist()) == \
-            set(np.asarray(ref["topv_idx"])[q].tolist())
+    # top-V videos: EXACT index equality in ranked order (selection and
+    # tie-break logic match the single-device stable top_k); scores allclose
+    # (values can carry fp reduction-order noise across shard tilings)
+    np.testing.assert_array_equal(np.asarray(out["topv_idx"]),
+                                  np.asarray(ref["topv_idx"]))
+    np.testing.assert_allclose(np.asarray(out["topv_scores"]),
+                               np.asarray(ref["topv_scores"]), rtol=1e-5)
 
-    # VCMR span candidates agree: same scores and same (video, st, ed) sets
-    np.testing.assert_allclose(np.asarray(out["vcmr_scores"]),
-                               np.asarray(ref["vcmr_scores"]), rtol=1e-5)
+    # VCMR span candidates: EXACT (video, st, ed) equality in ranked order
     ref_vid_global = np.take_along_axis(np.asarray(ref["topv_idx"]),
                                         np.asarray(ref["vcmr_vid_local"]), axis=1)
-    for q in range(6):
-        ref_set = set(zip(ref_vid_global[q].tolist(),
-                          np.asarray(ref["vcmr_st"])[q].tolist(),
-                          np.asarray(ref["vcmr_ed"])[q].tolist()))
-        out_set = set(zip(np.asarray(out["vcmr_vid_global"])[q].tolist(),
-                          np.asarray(out["vcmr_st"])[q].tolist(),
-                          np.asarray(out["vcmr_ed"])[q].tolist()))
-        assert len(ref_set & out_set) >= int(0.95 * len(ref_set)), \
-            f"query {q}: candidate sets diverge"
+    np.testing.assert_array_equal(np.asarray(out["vcmr_vid_global"]),
+                                  ref_vid_global)
+    np.testing.assert_array_equal(np.asarray(out["vcmr_st"]),
+                                  np.asarray(ref["vcmr_st"]))
+    np.testing.assert_array_equal(np.asarray(out["vcmr_ed"]),
+                                  np.asarray(ref["vcmr_ed"]))
+    np.testing.assert_allclose(np.asarray(out["vcmr_scores"]),
+                               np.asarray(ref["vcmr_scores"]), rtol=1e-5)
 
     # SVMR identical (psum one-hot routing)
     np.testing.assert_allclose(np.asarray(out["svmr_scores"]),

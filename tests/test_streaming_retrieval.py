@@ -13,6 +13,53 @@ from tvretrieval_tpu.retrieval.streaming import (
     host_cache_from_device, streaming_score_query_batch)
 
 
+@pytest.fixture(scope="module")
+def setup():
+    world = make_synthetic_world(n_videos=23, n_queries=10, vid_dim=16,
+                                 text_dim=12, max_clips=12, seed=21)
+    builder = ExampleBuilder(
+        query_source=world.query_source, video_source=world.video_source,
+        sub_source=world.sub_source, ctx_mode="video_sub_tef",
+        max_desc_l=16, max_ctx_l=12, clip_length=world.clip_length)
+    cfg = XMLConfig(ctx_mode="video_sub", visual_input_size=18,
+                    sub_input_size=14, query_input_size=16, hidden_size=16,
+                    n_heads=4, max_ctx_l=12, max_desc_l=16)
+    model = XML(cfg)
+    b = builder.build_train_batch(world.annotations[:6])
+    batch = {k: jnp.asarray(v) for k, v in b.model_inputs().items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "negatives": jax.random.PRNGKey(2)}, **batch, deterministic=True)
+    rcfg = RetrievalConfig(max_vcmr_video=7, max_before_nms=30, min_pred_l=1,
+                           max_pred_l=8, context_bsz=8, query_bsz=6)
+    cache = encode_corpus(model, variables, builder, world.corpus, rcfg)
+    qb = builder.build_query_batch(world.annotations[:6])
+    gt = np.arange(6, dtype=np.int32) % len(world.corpus)
+    return world, model, variables, rcfg, cache, qb, gt
+
+
+def test_sharded_streaming_matches_unsharded_streaming(setup):
+    """Streaming blocks device_put sharded over an 8-device video mesh must
+    reproduce the unsharded streaming engine exactly (the beyond-HBM x
+    multi-chip composition)."""
+    from tvretrieval_tpu.parallel.mesh import make_mesh
+    world, model, variables, rcfg, cache, qb, gt = setup
+    host = host_cache_from_device(cache)
+    plain = streaming_score_query_batch(
+        model, variables, rcfg, qb.query_feat, qb.query_mask, host,
+        gt_meta_idx=gt, block_videos=8)
+    mesh = make_mesh(8)
+    sharded = streaming_score_query_batch(
+        model, variables, rcfg, qb.query_feat, qb.query_mask, host,
+        gt_meta_idx=gt, block_videos=8, mesh=mesh)
+    for k in plain:
+        if plain[k].dtype.kind == "i":
+            np.testing.assert_array_equal(sharded[k], plain[k], err_msg=k)
+        else:
+            np.testing.assert_allclose(sharded[k], plain[k], rtol=1e-6,
+                                       err_msg=k)
+
+
 def test_streaming_matches_in_hbm_engine():
     world = make_synthetic_world(n_videos=23, n_queries=10, vid_dim=16,
                                  text_dim=12, max_clips=12, seed=21)

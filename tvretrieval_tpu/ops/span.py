@@ -129,7 +129,7 @@ def banded_topk_spans_two_stage(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
 @partial(jax.jit, static_argnames=("min_l", "max_l", "top_n"))
 def banded_topk_spans(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
                       video_scores: jnp.ndarray, min_l: int, max_l: int,
-                      top_n: int):
+                      top_n: int, keep_mask: jnp.ndarray | None = None):
     """Top-N spans over (videos x starts x band-ends) without materializing
     the dense (V, L, L) joint tensor.
 
@@ -139,6 +139,11 @@ def banded_topk_spans(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
 
     Args:
         st_probs / ed_probs: (Nq, V, L); video_scores: (Nq, V)
+        keep_mask: optional (Nq, V) {0,1}; every span of a non-kept video
+            (including its zero-score invalid band ends) is pushed strictly
+            below any real span's score (>= 0) so excluded videos can never
+            crowd out kept-video spans on score ties (used by the sharded
+            engine to restrict spans to the exact global top-V set).
     Returns:
         (video_local_idx, st_idx, ed_idx, scores), each (Nq, top_n).
     """
@@ -150,6 +155,11 @@ def banded_topk_spans(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
     ed_band = ed_probs[:, :, idx]                                   # (Nq, V, L, W)
     joint = (st_probs[:, :, :, None] * ed_band
              * video_scores[:, :, None, None] * valid[None, None])
+    if keep_mask is not None:
+        # zero the video weight first so the -1 bias dominates regardless of
+        # how large the excluded video's exp-score is
+        joint = (joint * keep_mask[:, :, None, None]
+                 - (1.0 - keep_mask)[:, :, None, None])
     flat = joint.reshape(nq, v * L * W)
     k = min(top_n, flat.shape[-1])
     scores, flat_idx = jax.lax.top_k(flat, k)

@@ -4,29 +4,40 @@ The encoded-corpus cache is sharded over the VIDEO axis of a 1-D device
 mesh; each device scores queries against its local shard and only tiny
 candidate tensors cross ICI:
 
-  1. per-shard top-V video scores  -> all-gather (Nq, V) per shard, pick the
-     global V-th-largest as a per-query threshold
-  2. each shard masks local videos below the threshold (exactly the
-     reference's "span scoring restricted to the global top-V videos",
-     inference.py:346-374) and emits its local top-N span candidates
-  3. the (Nq, k*N) candidate strips concatenate across the mesh; a final
-     top-N merge yields the same result as the single-device engine
+  1. per-shard top-V video scores -> all-gather (score, global_idx) strips;
+     every shard computes the EXACT global top-V by a two-key sort
+     (descending score, ascending global video index) — the same tie-break
+     as the single-device engine's stable ``lax.top_k``
+  2. each shard scores spans only for its local candidates, marks the ones
+     inside the exact global top-V set (exactly the reference's "span
+     scoring restricted to the global top-V videos", inference.py:346-374),
+     and emits its local top-N span candidates with a CANONICAL flat index
+     (global-rank * L * W + st * W + band-offset)
+  3. the (Nq, k*N) candidate strips concatenate across the mesh; a two-key
+     sort (descending score, ascending canonical index) reproduces the
+     single-device engine's flat-top-k tie order bit-for-bit given equal
+     scores
   4. SVMR probabilities live on the GT video's owning shard; a psum merges
      the one-hot contributions.
 
 Everything inside one shard_map program: compute rides the MXU per shard,
 collectives ride ICI, and the host sees a single jitted call.
+
+Exactness note: selection/merge/tie-break logic is exact. Score VALUES can
+differ from the single-device engine only by floating-point reduction-order
+noise (same einsums over differently-tiled shards); the parity test asserts
+full index equality plus allclose scores.
 """
 from __future__ import annotations
 
 import functools
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from tvretrieval_tpu.models.xml import XML
+from tvretrieval_tpu.ops.masking import mask_logits
 from tvretrieval_tpu.ops.span import banded_top_spans_from_probs, banded_topk_spans
 
 
@@ -58,6 +69,14 @@ def pad_videos_to_multiple(arrs, n_videos: int, multiple: int):
     return out, n_videos + pad
 
 
+def _sort_desc_by_score_then_idx(scores, idx, *extras):
+    """Two-key sort: descending score, ascending tie-break index — the tie
+    order of a stable ``lax.top_k`` over an index-ordered flat array."""
+    ops = (-scores, idx) + extras
+    out = jax.lax.sort(ops, num_keys=2)
+    return (-out[0], out[1]) + tuple(out[2:])
+
+
 @functools.partial(jax.jit, static_argnames=("model", "cfg", "do_svmr", "mesh"))
 def score_query_batch_sharded(model: XML, variables, cfg,
                               query_feat, query_mask,
@@ -67,63 +86,116 @@ def score_query_batch_sharded(model: XML, variables, cfg,
     f32 = jnp.float32
     V = cfg.max_vcmr_video
     N = cfg.max_before_nms
+    c = model.cfg
+    fast = c.merge_two_stream and c.use_video and c.use_sub \
+        and c.span_predictor_type == "conv"
+    W = cfg.max_pred_l - cfg.min_pred_l
 
     def shard_fn(vars_, qf, qm, vf1, vf2, sf1, sf2, cmask, gt_idx):
         nv_local = cmask.shape[0]
         shard = jax.lax.axis_index("data")
         base = shard * nv_local
-
         up = lambda x: None if x is None else x.astype(f32)
-        q2c, st_logits, ed_logits = model.apply(
-            vars_, qf, qm, up(vf1), up(vf2), cmask, up(sf1), up(sf2), cmask,
-            True, method=XML.get_pred_from_raw_query)        # (Nq, nv_local), (Nq, nv_local, L)
-        q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
-        st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)
-        ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
-        L = st_probs.shape[-1]
 
-        # --- phase 1: global top-V threshold over video scores
+        # --- per-shard scoring: mirror the single-device engine's fast path
+        # (pre-normalized feat1 cache, gather-then-conv spans) so score
+        # values match the unsharded program as closely as fp allows
+        if fast:
+            vq, sq = model.apply(vars_, qf, qm, method=XML.encode_query)
+
+            def scores_prenormalized(q, feat1_n):
+                qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+                s = jnp.einsum("md,nld->mln", qn.astype(feat1_n.dtype), feat1_n,
+                               preferred_element_type=jnp.float32)
+                return mask_logits(s, cmask.T[None]).max(axis=1)
+
+            q2c = (scores_prenormalized(vq, vf1)
+                   + scores_prenormalized(sq, sf1)) / 2
+            q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
+        else:
+            q2c, st_logits_all, ed_logits_all = model.apply(
+                vars_, qf, qm, up(vf1), up(vf2), cmask, up(sf1), up(sf2), cmask,
+                True, method=XML.get_pred_from_raw_query)
+            q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
+            st_probs_all = jax.nn.softmax(st_logits_all.astype(f32), axis=-1)
+            ed_probs_all = jax.nn.softmax(ed_logits_all.astype(f32), axis=-1)
+
+        # --- phase 1: EXACT global top-V (score desc, global idx asc)
         v_local = min(V, nv_local)
-        top_local, top_local_idx = jax.lax.top_k(q2c_exp, v_local)   # (Nq, v_local)
-        all_top = jax.lax.all_gather(top_local, "data", axis=1, tiled=True)  # (Nq, k*v_local)
-        thresh = jax.lax.top_k(all_top, V)[0][:, -1]                 # (Nq,) V-th largest
+        top_local, top_local_idx = jax.lax.top_k(q2c_exp, v_local)  # (Nq, v_local)
+        gidx_local = top_local_idx + base
+        all_scores = jax.lax.all_gather(top_local, "data", axis=1, tiled=True)
+        all_gidx = jax.lax.all_gather(gidx_local, "data", axis=1, tiled=True)
+        topv_scores_g, topv_idx_g = _sort_desc_by_score_then_idx(
+            all_scores, all_gidx)
+        topv_scores_g = topv_scores_g[:, :V]
+        topv_idx_g = topv_idx_g[:, :V]                               # (Nq, V)
 
-        # --- phase 2: local spans restricted to globally-top videos
-        keep = top_local >= thresh[:, None]                          # (Nq, v_local)
-        kept_scores = jnp.where(keep, top_local, 0.0)
-        st_top = jnp.take_along_axis(st_probs, top_local_idx[:, :, None], axis=1)
-        ed_top = jnp.take_along_axis(ed_probs, top_local_idx[:, :, None], axis=1)
-        W = cfg.max_pred_l - cfg.min_pred_l
+        # local candidates inside the exact global top-V + their global rank
+        eq = gidx_local[:, :, None] == topv_idx_g[:, None, :]        # (Nq, vl, V)
+        keep = eq.any(axis=-1).astype(f32)
+        rank = jnp.argmax(eq, axis=-1).astype(jnp.int32)             # valid iff keep
+
+        # --- phase 2: span probabilities for local candidates (+ GT row)
+        if fast:
+            gather_idx = (jnp.concatenate([top_local_idx,
+                                           jnp.clip(gt_idx - base, 0, nv_local - 1)[:, None]],
+                                          axis=1) if do_svmr else top_local_idx)
+            vf2_g = vf2[gather_idx]                                  # (Nq, vl[+1], L, D)
+            sf2_g = sf2[gather_idx]
+            mask_g = cmask[gather_idx]
+            st_logits, ed_logits = model.apply(
+                vars_, vq, up(vf2_g), sq, up(sf2_g), mask_g,
+                method=XML.merged_st_ed_scores_gathered)
+            st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)
+            ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
+            st_top, ed_top = st_probs[:, :v_local], ed_probs[:, :v_local]
+        else:
+            st_top = jnp.take_along_axis(st_probs_all, top_local_idx[:, :, None], axis=1)
+            ed_top = jnp.take_along_axis(ed_probs_all, top_local_idx[:, :, None], axis=1)
+
+        L = st_top.shape[-1]
         n_local = min(N, v_local * L * W)
         vid_loc, st_i, ed_i, scores = banded_topk_spans(
-            st_top, ed_top, kept_scores, cfg.min_pred_l, cfg.max_pred_l, n_local)
-        vid_global = jnp.take_along_axis(top_local_idx, vid_loc, axis=1) + base
+            st_top, ed_top, top_local, cfg.min_pred_l, cfg.max_pred_l,
+            n_local, keep_mask=keep)
+        # canonical flat index in the single-device engine's flat ordering:
+        # global-rank * L * W + st * W + band offset
+        cand_rank = jnp.take_along_axis(rank, vid_loc, axis=1)
+        canon = (cand_rank * (L * W) + st_i * W
+                 + (ed_i - st_i - cfg.min_pred_l)).astype(jnp.int32)
+        vid_global = jnp.take_along_axis(gidx_local, vid_loc, axis=1)
 
         out = dict(
-            topv_scores=top_local,
-            topv_idx=top_local_idx + base,
+            topv_scores=topv_scores_g,                # replicated across shards
+            topv_idx=topv_idx_g,
             cand_scores=scores, cand_vid=vid_global,
-            cand_st=st_i, cand_ed=ed_i,
+            cand_st=st_i, cand_ed=ed_i, cand_canon=canon,
         )
 
         if do_svmr:
             # GT probabilities live on one shard; psum the one-hot contribution
             local_gt = gt_idx - base                                  # (Nq,)
-            owned = (local_gt >= 0) & (local_gt < nv_local)
-            safe = jnp.clip(local_gt, 0, nv_local - 1)
-            take = lambda p: jnp.take_along_axis(
-                p, safe[:, None, None], axis=1)[:, 0] * owned[:, None]
-            st_gt = jax.lax.psum(take(st_probs), "data")              # (Nq, L)
-            ed_gt = jax.lax.psum(take(ed_probs), "data")
+            owned = ((local_gt >= 0) & (local_gt < nv_local)).astype(f32)
+            if fast:
+                st_gt = jax.lax.psum(st_probs[:, v_local] * owned[:, None], "data")
+                ed_gt = jax.lax.psum(ed_probs[:, v_local] * owned[:, None], "data")
+            else:
+                safe = jnp.clip(local_gt, 0, nv_local - 1)
+                take = lambda p: jnp.take_along_axis(
+                    p, safe[:, None, None], axis=1)[:, 0] * owned[:, None]
+                st_gt = jax.lax.psum(take(st_probs_all), "data")      # (Nq, L)
+                ed_gt = jax.lax.psum(take(ed_probs_all), "data")
             out.update(svmr_st_probs=st_gt, svmr_ed_probs=ed_gt)
         return out
 
     specs_in = (P(), P(), P(),
                 P("data"), P("data"), P("data"), P("data"), P("data"), P())
     out_specs = dict(
-        topv_scores=P(None, "data"), topv_idx=P(None, "data"),
+        topv_scores=P(), topv_idx=P(),
         cand_scores=P(None, "data"), cand_vid=P(None, "data"),
-        cand_st=P(None, "data"), cand_ed=P(None, "data"))
+        cand_st=P(None, "data"), cand_ed=P(None, "data"),
+        cand_canon=P(None, "data"))
     if do_svmr:
         out_specs.update(svmr_st_probs=P(), svmr_ed_probs=P())
 
@@ -132,16 +204,15 @@ def score_query_batch_sharded(model: XML, variables, cfg,
         variables, query_feat, query_mask, video_feat1, video_feat2,
         sub_feat1, sub_feat2, ctx_mask, gt_meta_idx)
 
-    # --- global merges (tiny tensors)
-    topv_scores, sel = jax.lax.top_k(res["topv_scores"], V)
-    topv_idx = jnp.take_along_axis(res["topv_idx"], sel, axis=1)
-
-    cand_scores, sel = jax.lax.top_k(res["cand_scores"], N)
-    take = lambda x: jnp.take_along_axis(x, sel, axis=1)
+    # --- global merge (tiny tensors): same (score desc, canonical idx asc)
+    # tie order as the single-device flat top-k
+    scores, canon, vid, st, ed = _sort_desc_by_score_then_idx(
+        res["cand_scores"], res["cand_canon"],
+        res["cand_vid"], res["cand_st"], res["cand_ed"])
     out = dict(
-        topv_scores=topv_scores, topv_idx=topv_idx,
-        vcmr_scores=cand_scores, vcmr_vid_global=take(res["cand_vid"]),
-        vcmr_st=take(res["cand_st"]), vcmr_ed=take(res["cand_ed"]))
+        topv_scores=res["topv_scores"], topv_idx=res["topv_idx"],
+        vcmr_scores=scores[:, :N], vcmr_vid_global=vid[:, :N],
+        vcmr_st=st[:, :N], vcmr_ed=ed[:, :N])
 
     if do_svmr:
         svmr_st, svmr_ed, svmr_scores = banded_top_spans_from_probs(

@@ -114,11 +114,19 @@ def streaming_score_query_batch(model: XML, variables, cfg,
                                 query_feat, query_mask,
                                 host: HostCorpusCache,
                                 gt_meta_idx: Optional[np.ndarray] = None,
-                                block_videos: int = 2048):
+                                block_videos: int = 2048,
+                                mesh=None):
     """Score one query batch against a host-resident corpus.
 
     Returns the same dict as the in-HBM engine's _score_query_batch (plus
     topv_idx), with identical numerics.
+
+    mesh: optional 1-D device mesh ("data" axis). Each streamed block is
+    device_put sharded over its VIDEO axis, so every chip holds 1/k of the
+    block in HBM and runs 1/k of the scoring matmul; only the tiny (Nq, B)
+    block scores cross ICI for the running top-V merge. This composes the
+    beyond-HBM streaming path with multi-chip corpus sharding (the 1M-video
+    deployment shape: corpus in host RAM, scoring striped over a slice).
     """
     do_svmr = gt_meta_idx is not None
     nq = query_feat.shape[0]
@@ -132,6 +140,15 @@ def streaming_score_query_batch(model: XML, variables, cfg,
     best_scores = jnp.full((nq, V), -jnp.inf, jnp.float32)
     best_idx = jnp.zeros((nq, V), jnp.int32)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = mesh.devices.size
+        block_videos = ((block_videos + n_dev - 1) // n_dev) * n_dev
+        block_sharding = NamedSharding(mesh, P("data"))
+        put = lambda a: jax.device_put(a, block_sharding)
+    else:
+        put = jax.device_put
+
     def blocks():
         for off in range(0, n, block_videos):
             end = min(off + block_videos, n)
@@ -143,8 +160,7 @@ def streaming_score_query_batch(model: XML, variables, cfg,
                 zpad = lambda a: np.concatenate(
                     [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
                 vf, sf, mk = zpad(vf), zpad(sf), zpad(mk)
-            yield off, (jax.device_put(vf), jax.device_put(sf),
-                        jax.device_put(mk))
+            yield off, (put(vf), put(sf), put(mk))
 
     # double-buffer: device_put of the next block overlaps this block's matmul
     it = blocks()
