@@ -77,6 +77,55 @@ def test_context_batch_and_query_batch():
     assert qb.meta[0]["desc_id"] == world.annotations[0]["desc_id"]
 
 
+def test_prebuilt_examples_match_per_row_builder():
+    """PrebuiltExamples batches must equal ExampleBuilder batches exactly
+    (same arrays, bit-for-bit), for train and eval label conventions."""
+    from tvretrieval_tpu.data.datasets import PrebuiltExamples
+
+    world = make_synthetic_world(n_videos=7, n_queries=20, seed=9)
+    builder = _make_builder(world)
+    rows = world.annotations
+    pre = PrebuiltExamples(builder, rows)
+    for sel in ([0, 3, 5, 5, 12], list(range(20))):
+        batch_rows = [rows[i] for i in sel]
+        a = builder.build_train_batch(batch_rows)
+        b = pre.batch_for_rows(batch_rows)
+        for k in ("query_feat", "query_mask", "video_feat", "video_mask",
+                  "sub_feat", "sub_mask", "st_ed_indices"):
+            np.testing.assert_array_equal(getattr(a, k), getattr(b, k), err_msg=k)
+
+    pre_eval = PrebuiltExamples(builder, rows, eval_labels=True)
+    a = builder.build_train_batch(rows[:6], eval_labels=True)
+    b = pre_eval.batch_for_rows(rows[:6])
+    np.testing.assert_array_equal(a.st_ed_indices, b.st_ed_indices)
+
+
+def test_trainer_prebuild_examples_end_to_end():
+    """XMLTrainer(prebuild_examples=True) trains identically-shaped steps and
+    falls back to the per-row builder for rows outside the cache."""
+    from tvretrieval_tpu.models.xml import XMLConfig
+    from tvretrieval_tpu.training.xml_trainer import TrainSettings, XMLTrainer
+
+    world = make_synthetic_world(n_videos=6, n_queries=24, vid_dim=16,
+                                 text_dim=12, max_clips=12, seed=13)
+    builder = ExampleBuilder(
+        query_source=world.query_source, video_source=world.video_source,
+        sub_source=world.sub_source, ctx_mode="video_sub_tef",
+        max_desc_l=16, max_ctx_l=12, clip_length=world.clip_length)
+    cfg = XMLConfig(ctx_mode="video_sub", visual_input_size=18,
+                    sub_input_size=14, query_input_size=16, hidden_size=16,
+                    n_heads=4, max_ctx_l=12, max_desc_l=16)
+    train_rows, eval_rows = world.annotations[:16], world.annotations[16:]
+    settings = TrainSettings(lr=1e-4, n_epoch=1, bsz=8, seed=3,
+                             prebuild_examples=True)
+    trainer = XMLTrainer(cfg, settings, builder, train_rows, mesh=None)
+    losses = trainer.train_epoch(0)
+    assert np.isfinite(losses["loss_overall"])
+    # eval rows are not in the prebuilt cache -> per-row fallback
+    ev = trainer.eval_loss_epoch(eval_rows, 0)
+    assert ev and np.isfinite(ev["loss_overall"])
+
+
 def test_batch_iterator_deterministic_and_drop_last():
     rows = [{"i": i} for i in range(10)]
     it = BatchIterator(rows, batch_size=4, shuffle=True, drop_last=True, seed=7)

@@ -271,6 +271,83 @@ class ExampleBuilder:
         )
 
 
+class PrebuiltExamples:
+    """Fixed-shape example cache for STATIC feature stores.
+
+    ``ExampleBuilder.build_train_batch`` pays a per-row Python cost every
+    epoch (h5/dict reads, l2-norm over (L, 3072+), TEF concat, padding) —
+    82ms data_wait vs 7.5ms step dispatch at flagship scale on a 1-core host.
+    This cache pays that cost ONCE (one context per unique video, one query
+    row per annotation, labels precomputed) and turns batch building into
+    three numpy fancy-index gathers — pure memcpy that releases the GIL, so
+    prefetch threads overlap it with device compute.
+
+    Exactly equivalent to the per-row builder (tested): same arrays, same
+    label conventions (train vs eval ceil-1 asymmetry preserved via
+    ``eval_labels``).
+    """
+
+    def __init__(self, builder: ExampleBuilder, rows: List[dict],
+                 eval_labels: bool = False, dtype=np.float32):
+        """dtype: feature storage dtype. float16 halves cache RAM, gather
+        memcpy time, and host->device transfer (features are l2-normalized,
+        so f16's ~1e-3 relative rounding is benign for training); float32 is
+        bit-exact vs the per-row builder."""
+        vids: Dict[str, float] = {}
+        for r in rows:
+            if r["vid_name"] not in vids:
+                vids[r["vid_name"]] = r.get("duration")
+        vid_names = list(vids.keys())
+        self.vid2slot = {v: i for i, v in enumerate(vid_names)}
+
+        nv = len(vid_names)
+        v0, s0, m0, _ = builder.context(vid_names[0], vids[vid_names[0]])
+        self.v_feats = np.empty((nv,) + v0.shape, dtype)
+        self.s_feats = np.empty((nv,) + s0.shape, dtype)
+        self.masks = np.empty((nv,) + m0.shape, np.float32)
+        self.ctx_l = np.empty((nv,), np.int32)
+        for i, v in enumerate(vid_names):
+            self.v_feats[i], self.s_feats[i], self.masks[i], cl = \
+                builder.context(v, vids[v])
+            self.ctx_l[i] = cl
+
+        nq = len(rows)
+        self.q_feats = np.empty((nq, builder.max_desc_l,
+                                 builder.query_source.dim), dtype)
+        self.q_masks = np.empty((nq, builder.max_desc_l), np.float32)
+        self.st_ed = np.empty((nq, 2), np.int32)
+        self.row_slot = np.empty((nq,), np.int32)
+        label_fn = eval_st_ed_label if eval_labels else train_st_ed_label
+        for i, row in enumerate(rows):
+            self.q_feats[i], self.q_masks[i] = builder.query(row["desc_id"])
+            slot = self.vid2slot[row["vid_name"]]
+            self.row_slot[i] = slot
+            ts = resolve_ts(row, builder.dset_name)
+            self.st_ed[i] = label_fn(ts, builder.clip_length,
+                                     max_idx=int(self.ctx_l[slot]) - 1)
+        self.desc2idx = {r["desc_id"]: i for i, r in enumerate(rows)}
+
+    def nbytes(self) -> int:
+        return sum(a.nbytes for a in (self.v_feats, self.s_feats, self.masks,
+                                      self.q_feats, self.q_masks))
+
+    def batch(self, row_indices: np.ndarray) -> StartEndBatch:
+        """Assemble a batch by gather — no per-row Python work."""
+        idx = np.asarray(row_indices)
+        slots = self.row_slot[idx]
+        masks = self.masks[slots]
+        return StartEndBatch(
+            query_feat=self.q_feats[idx], query_mask=self.q_masks[idx],
+            video_feat=self.v_feats[slots], video_mask=masks,
+            sub_feat=self.s_feats[slots], sub_mask=masks.copy(),
+            st_ed_indices=self.st_ed[idx], meta=[],
+        )
+
+    def batch_for_rows(self, rows: List[dict]) -> StartEndBatch:
+        return self.batch(np.asarray([self.desc2idx[r["desc_id"]] for r in rows],
+                                     dtype=np.int64))
+
+
 def load_annotations(path: str, data_ratio: float = 1.0) -> List[dict]:
     """Load a TVR-format jsonl annotation file, optionally truncated
     (reference --data_ratio, config.py:29-32)."""

@@ -219,6 +219,55 @@ class ProfileXMLTrain:
         }
 
 
+def profile_data_pipeline(bsz: int = 128, n_videos: int = 200,
+                          n_queries: int = 1024) -> Dict[str, float]:
+    """Host batch-building cost at flagship dims (video 3072-d, sub 768-d,
+    ctx 100): per-row ExampleBuilder loop vs PrebuiltExamples gather. The
+    1-core host is the training bottleneck (data_wait 82ms vs 7.5ms dispatch
+    in the round-1 scale run); the prebuilt path must push build time below
+    the ~46ms device step."""
+    from tvretrieval_tpu.data.datasets import ExampleBuilder, PrebuiltExamples
+    from tvretrieval_tpu.data.synthetic import make_synthetic_world
+
+    world = make_synthetic_world(n_videos=n_videos, n_queries=n_queries,
+                                 vid_dim=3072, text_dim=768, max_clips=100,
+                                 seed=0)
+    builder = ExampleBuilder(
+        query_source=world.query_source, video_source=world.video_source,
+        sub_source=world.sub_source, ctx_mode="video_sub_tef",
+        max_desc_l=30, max_ctx_l=100, clip_length=world.clip_length)
+    rows = world.annotations
+    batches = [rows[i:i + bsz] for i in range(0, bsz * 4, bsz)]
+
+    def timed(fn, n=3):
+        fn(batches[0])  # warm
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            for b in batches:
+                fn(b)
+            ts.append((time.perf_counter() - t0) / len(batches))
+        return float(np.median(ts))
+
+    per_row_s = timed(builder.build_train_batch)
+    t0 = time.perf_counter()
+    pre = PrebuiltExamples(builder, rows)
+    prebuild_s = time.perf_counter() - t0
+    prebuilt_s = timed(pre.batch_for_rows)
+    pre16 = PrebuiltExamples(builder, rows, dtype=np.float16)
+    prebuilt16_s = timed(pre16.batch_for_rows)
+    return {
+        "per_row_build_batch_s": per_row_s,
+        "prebuilt_gather_batch_s": prebuilt_s,
+        "prebuilt_f16_gather_batch_s": prebuilt16_s,
+        "speedup": per_row_s / prebuilt_s,
+        "speedup_f16": per_row_s / prebuilt16_s,
+        "prebuild_once_s": prebuild_s,
+        "cache_gb": pre.nbytes() / 1024 ** 3,
+        "cache_f16_gb": pre16.nbytes() / 1024 ** 3,
+    }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="XML stage profiler")
     parser.add_argument("--n_videos", type=int, default=2000)
@@ -230,9 +279,16 @@ def main(argv=None):
                         help="write a jax.profiler trace here")
     parser.add_argument("--train", action="store_true",
                         help="profile the flagship train step instead")
+    parser.add_argument("--data", action="store_true",
+                        help="profile host batch building (no device needed)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     args = parser.parse_args(argv)
+
+    if args.data:
+        results = profile_data_pipeline()
+        print(json.dumps(results, indent=2))
+        return results
 
     if args.train:
         results = ProfileXMLTrain(dtype_str=args.dtype).profile()

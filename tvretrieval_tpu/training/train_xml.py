@@ -55,6 +55,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_norm_tfeat", action="store_true")
     p.add_argument("--h5_preload", action="store_true",
                    help="load h5 features fully into RAM (reference 'core' driver)")
+    p.add_argument("--prebuild_examples", action="store_true",
+                   help="cache fixed-shape train examples once; per-batch "
+                        "building becomes pure numpy gathers (fastest on "
+                        "static feature stores; needs RAM for the cache)")
+    p.add_argument("--prebuild_dtype", type=str, default="float32",
+                   choices=["float32", "float16"],
+                   help="prebuilt-cache feature dtype (float16 halves RAM "
+                        "and host copy time)")
     # model
     p.add_argument("--hidden_size", type=int, default=256)
     p.add_argument("--n_heads", type=int, default=4)
@@ -307,6 +315,8 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
         lw_st_ed=args.lw_st_ed, train_span_start_epoch=args.train_span_start_epoch,
         hard_negative_start_epoch=args.hard_negtiave_start_epoch,
         hard_pool_size=args.hard_pool_size, seed=args.seed,
+        prebuild_examples=args.prebuild_examples,
+        prebuild_dtype=args.prebuild_dtype,
         debug_max_steps=4 if args.debug else -1,
         eval_tasks=tuple(args.eval_tasks_at_training), stop_task=args.stop_task)
 

@@ -48,6 +48,10 @@ class TrainSettings:
     grad_clip: float = -1.0          # extra global clip; -1 disables (ref default)
     debug_max_steps: int = -1        # truncate each epoch (reference --debug)
     prefetch_workers: int = 2        # batch-building threads (DataLoader workers)
+    prebuild_examples: bool = False  # cache fixed-shape examples once; batch
+                                     # building becomes pure numpy gathers
+                                     # (static feature stores only)
+    prebuild_dtype: str = "float32"  # "float16" halves cache RAM + gather time
     seed: int = 2018
     eval_tasks: Sequence[str] = ("VCMR", "SVMR", "VR")
     stop_task: str = "VCMR"
@@ -70,6 +74,13 @@ class XMLTrainer:
         self.steps_per_epoch = max(len(train_rows) // settings.bsz, 1)
         t_total = self.steps_per_epoch * settings.n_epoch
 
+        self.prebuilt = None
+        if settings.prebuild_examples:
+            from tvretrieval_tpu.data.datasets import PrebuiltExamples
+            self.prebuilt = PrebuiltExamples(
+                builder, train_rows,
+                dtype=np.dtype(settings.prebuild_dtype))
+
         rng = jax.random.PRNGKey(settings.seed)
         init_batch = self._build((train_rows * settings.bsz)[: settings.bsz])
         variables = self.model.init(
@@ -90,7 +101,13 @@ class XMLTrainer:
 
     # ------------------------------------------------------------------ build
     def _build(self, rows):
-        b = self.builder.build_train_batch(rows)
+        if self.prebuilt is not None:
+            try:
+                b = self.prebuilt.batch_for_rows(rows)
+            except KeyError:  # rows outside the cache (e.g. eval-loss rows)
+                b = self.builder.build_train_batch(rows)
+        else:
+            b = self.builder.build_train_batch(rows)
         return {k: jnp.asarray(v) for k, v in b.model_inputs().items()}
 
     def _put(self, batch):
