@@ -11,10 +11,12 @@ The corpus cache is synthesized directly at encoder-output shape (encoding
 is a one-time offline cost; the north star is per-query retrieval
 throughput — BASELINE.md "score the full 21.8K-video corpus per query").
 
-vs_baseline: the reference paper-scale GPU pipeline is estimated at
-~170 queries/sec on the same 21.8K corpus on its 1x RTX 2080Ti setup
-(TVR-paper-era retrieval timing scaled to corpus size; the repo publishes
-no throughput number — BASELINE.md). vs_baseline = measured_qps / 170.
+vs_baseline: the reference publishes no throughput number; 170 q/s is a
+CEILING derived from the reference pipeline's own materialized-tensor
+traffic at its shipped eval_query_bsz=50 (inference.py:61) — ~170 GB of
+f32 HBM traffic per 50-query batch against 21.8K videos, which even at the
+RTX 2080Ti's full 616 GB/s with zero compute/sort/host cost bounds it at
+<= ~181 q/s (full arithmetic in BENCH_NOTES.md). vs_baseline = qps / 170.
 """
 from __future__ import annotations
 
@@ -25,7 +27,7 @@ BASELINE_REF_QPS = 170.0
 N_VIDEOS = 21818
 N_CLIPS = 100
 HIDDEN = 256
-QUERY_BSZ = 100
+QUERY_BSZ = 200   # saturation point (100 -> 3625, 200 -> 3766 q/s, round 2)
 N_WARMUP = 2
 N_ITERS = 10
 

@@ -338,11 +338,16 @@ class XML(nn.Module):
         assert c.use_video and c.use_sub and c.span_predictor_type == "conv"
         vq = self.video_query_linear(video_query)
         sq = self.sub_query_linear(sub_query)
-        sim_v = jnp.einsum("qd,qvld->qvl", vq, video_feat2_g,
-                           preferred_element_type=jnp.float32)
-        sim_s = jnp.einsum("qd,qvld->qvl", sq, sub_feat2_g,
-                           preferred_element_type=jnp.float32)
-        similarity = ((sim_v + sim_s) / 2).astype(video_feat2_g.dtype)
+        sim_v = jnp.einsum("qd,qvld->qvl", vq.astype(video_feat2_g.dtype),
+                           video_feat2_g, preferred_element_type=jnp.float32)
+        sim_s = jnp.einsum("qd,qvld->qvl", sq.astype(sub_feat2_g.dtype),
+                           sub_feat2_g, preferred_element_type=jnp.float32)
+        # the einsum consumes the gathered rows at cache dtype (skips
+        # materializing a 2x-size f32 copy in HBM) and accumulates f32; with
+        # a bf16 cache the query vector rounds to bf16 exactly like the
+        # video-level scoring stage does (engine scores_prenormalized).
+        # similarity stays f32 into the conv.
+        similarity = (sim_v + sim_s) / 2
         st, ed = self._merged_span_conv(similarity)
         return mask_logits(st, mask_g), mask_logits(ed, mask_g)
 

@@ -84,6 +84,37 @@ def chunked_masked_max_scores(queries_n: jnp.ndarray, feat1_n: jnp.ndarray,
     return scores[:, :Nv]
 
 
+@partial(jax.jit, static_argnames=("k", "block"))
+def topk_stable_blocked(scores: jnp.ndarray, k: int, block: int = 32):
+    """EXACT stable top-k over the last axis via block-max pruning.
+
+    Bit-equal to ``jax.lax.top_k`` (including its stable ascending-index tie
+    order) but ~2x faster on TPU for wide rows: every element of the true
+    top-k lives in a block whose max is >= the k-th value, and at most k
+    such blocks are needed when block ties break by ascending block index —
+    exactly lax.top_k's stable rule over block maxima (same cover argument
+    as banded_topk_spans_grouped). Selected blocks are re-sorted ascending
+    so the expanded candidate pool is in original index order, making the
+    final stable top_k's position tie-break the original-index tie-break.
+    """
+    nq, n = scores.shape
+    if n <= k or n <= 2 * block:
+        return jax.lax.top_k(scores, min(k, n))
+    pad = (-n) % block
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    padded = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=neg_inf)
+    nb = padded.shape[1] // block
+    bmax = padded.reshape(nq, nb, block).max(axis=-1)
+    kb = min(k, nb)
+    _, bidx = jax.lax.top_k(bmax, kb)
+    bidx = jax.lax.sort(bidx, dimension=1)
+    pool = jnp.take_along_axis(padded.reshape(nq, nb, block),
+                               bidx[:, :, None], axis=1)     # (Nq, kb, block)
+    vals, pos = jax.lax.top_k(pool.reshape(nq, kb * block), k)
+    src = jnp.take_along_axis(bidx, pos // block, axis=1) * block + pos % block
+    return vals, src.astype(jnp.int32)
+
+
 def _band_indices(L: int, min_l: int, max_l: int):
     """(L, W) end-indices of the valid span band; W = max_l - min_l.
 
@@ -168,6 +199,91 @@ def banded_topk_spans(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
         flat_idx = jnp.pad(flat_idx, ((0, 0), (0, top_n - k)))
     vid = flat_idx // (L * W)
     rem = flat_idx % (L * W)
+    m = rem // W
+    n = m + min_l + rem % W
+    return (vid.astype(jnp.int32), m.astype(jnp.int32),
+            n.astype(jnp.int32), scores)
+
+
+@partial(jax.jit, static_argnames=("min_l", "max_l", "top_n"))
+def banded_topk_spans_grouped(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
+                              video_scores: jnp.ndarray, min_l: int,
+                              max_l: int, top_n: int):
+    """EXACT hierarchical variant of banded_topk_spans: group the band by
+    (video, start), select candidate groups by their group MAXIMUM, expand
+    only those groups, and sort the small candidate pool.
+
+    Why it is exact (bit-for-bit equal to banded_topk_spans):
+      1. Group max without materializing the band: f32 multiplication by a
+         non-negative factor is monotone, so
+         ``max_w fl(fl(st*ed_w)*vs) == fl(fl(st*max_w ed_w)*vs)`` — the
+         window max of ``ed`` (log-doubling shifts, zero fill reproduces the
+         invalid-end zeros) gives every group's true maximum span score.
+      2. Cover theorem: let t be the top_n-th span value. Every group
+         holding a selected span has group-max >= t; the number of such
+         groups is at most top_n (each >t group holds a >t span, and tied
+         ==t groups are needed in ascending flat order, which is exactly
+         lax.top_k's stable tie-break over the group-major flat layout).
+         Hence the stable top-``top_n`` groups by group max contain ALL
+         selected spans.
+      3. The expanded pool (top_n * W values, computed with the same
+         ((st*ed)*vs)*valid f32 products) is sorted by (value desc,
+         canonical flat index asc) — the same total order as XLA's stable
+         top_k over the full flat band.
+
+    ~10x less sort work than the flat path at corpus scale (top_k over
+    V*L=10K group maxes + a 2-key sort of top_n*W candidates, vs top_k over
+    V*L*W=140K), with everything MXU/VPU-friendly XLA ops.
+    """
+    nq, v, L = st_probs.shape
+    W = max_l - min_l
+
+    # --- 1. per-(video, start) group max via window max of ed
+    # (reduce_window with identity 0.0: probs are >= 0 and out-of-range ends
+    # are exact zeros in the flat path, so the max identities coincide)
+    rw = jax.lax.reduce_window(
+        ed_probs, 0.0, jax.lax.max, (1, 1, W), (1, 1, 1),
+        padding=((0, 0), (0, 0), (0, W - 1)))                    # max ed[i:i+W)
+    wmax = jnp.pad(rw, ((0, 0), (0, 0), (0, min_l)))[..., min_l:]
+    gmax = (st_probs * wmax) * video_scores[:, :, None]          # (Nq, V, L)
+
+    # --- 2. stable top-k groups (ties -> ascending flat (v, st) index),
+    # then re-order the selected groups ASCENDING by flat index so the
+    # expanded candidate pool is laid out in canonical order — that makes
+    # the final stable top_k's position tie-break equal the canonical-index
+    # tie-break (a 2-key lax.sort is ~4x slower than top_k on TPU)
+    k_groups = min(top_n, v * L)
+    _, gidx = jax.lax.top_k(gmax.reshape(nq, v * L), k_groups)  # (Nq, G)
+    gidx = jax.lax.sort(gidx, dimension=1)
+    g_vid = gidx // L
+    g_st = gidx % L
+
+    # --- 3. expand candidate groups: W spans each. The ed windows are
+    # gathered as CONTIGUOUS (1, W) rows of the statically-banded ed tensor
+    # (scattered per-element gathers are ~5x slower on TPU)
+    take2 = lambda x, i: jnp.take_along_axis(x.reshape(nq, v * L), i, axis=1)
+    st_g = take2(st_probs, gidx)                                 # (Nq, G)
+    vs_g = jnp.take_along_axis(video_scores, g_vid, axis=1)
+    idx_np, valid_np, _ = _band_indices(L, min_l, max_l)
+    ed_band = ed_probs[:, :, jnp.asarray(idx_np)]                # (Nq, V, L, W)
+    ed_g = jnp.take_along_axis(
+        ed_band.reshape(nq, v * L, W), gidx[:, :, None], axis=1)  # (Nq, G, W)
+    valid_g = ((g_st[:, :, None] + min_l + jnp.arange(W)[None, None]) < L
+               ).astype(st_probs.dtype)
+    vals = ((st_g[:, :, None] * ed_g) * vs_g[:, :, None]) * valid_g
+    canon = gidx[:, :, None] * W + jnp.arange(W)[None, None]
+
+    # --- 4. exact final order: stable top_k over the canon-ordered pool
+    # == (value desc, canonical index asc)
+    pool = vals.reshape(nq, -1)
+    k = min(top_n, pool.shape[1])
+    scores, pos = jax.lax.top_k(pool, k)
+    flat = jnp.take_along_axis(canon.reshape(nq, -1), pos, axis=1)
+    if k < top_n:
+        scores = jnp.pad(scores, ((0, 0), (0, top_n - k)))
+        flat = jnp.pad(flat, ((0, 0), (0, top_n - k)))
+    vid = flat // (L * W)
+    rem = flat % (L * W)
     m = rem // W
     n = m + min_l + rem % W
     return (vid.astype(jnp.int32), m.astype(jnp.int32),

@@ -145,7 +145,7 @@ def score_query_batch_sharded(model: XML, variables, cfg,
             sf2_g = sf2[gather_idx]
             mask_g = cmask[gather_idx]
             st_logits, ed_logits = model.apply(
-                vars_, vq, up(vf2_g), sq, up(sf2_g), mask_g,
+                vars_, vq, vf2_g, sq, sf2_g, mask_g,
                 method=XML.merged_st_ed_scores_gathered)
             st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)
             ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)

@@ -31,7 +31,11 @@ import numpy as np
 from tvretrieval_tpu.data.datasets import CorpusIndex, ExampleBuilder
 from tvretrieval_tpu.models.xml import XML
 from tvretrieval_tpu.ops.masking import mask_logits
-from tvretrieval_tpu.ops.span import banded_top_spans_from_probs, banded_topk_spans
+from tvretrieval_tpu.ops.span import (
+    banded_top_spans_from_probs,
+    banded_topk_spans_grouped,
+    topk_stable_blocked,
+)
 
 
 @dataclass(frozen=True)
@@ -170,14 +174,18 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
             topv_idx = external_idx
             topv_scores = jnp.exp(cfg.q2c_alpha * external_scores)
         else:
-            topv_scores, topv_idx = jax.lax.top_k(q2c_exp, V)  # (Nq, V)
+            # exact stable top-k with block-max pruning (bit-equal to
+            # lax.top_k, ~2x faster over the 21.8K-video axis)
+            topv_scores, topv_idx = topk_stable_blocked(q2c_exp, V)  # (Nq, V)
         gather_idx = (jnp.concatenate([topv_idx, gt_meta_idx[:, None]], axis=1)
                       if do_svmr else topv_idx)                # (Nq, V[+1])
         vf2_g = video_feat2[gather_idx]                        # (Nq, V+1, L, D)
         sf2_g = sub_feat2[gather_idx]
         mask_g = ctx_mask[gather_idx]                          # (Nq, V+1, L)
+        # gathered rows stay at cache dtype: merged_st_ed_scores_gathered
+        # consumes them directly with f32 accumulation (no f32 copy in HBM)
         st_logits, ed_logits = model.apply(
-            variables, vq, up(vf2_g), sq, up(sf2_g), mask_g,
+            variables, vq, vf2_g, sq, sf2_g, mask_g,
             method=XML.merged_st_ed_scores_gathered)
         st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)
         ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
@@ -199,12 +207,12 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
         st_top = jnp.take_along_axis(st_probs, topv_idx[:, :, None], axis=1)
         ed_top = jnp.take_along_axis(ed_probs, topv_idx[:, :, None], axis=1)
 
-    # banded joint: only the W = max_pred_l - min_pred_l valid diagonals are
-    # computed (exact-equivalent to the dense masked outer product).
-    # NOTE: the two-stage variant (banded_topk_spans_two_stage) is ~14%
-    # faster in isolation but a wash inside this fused program (2737 vs
-    # 2753 q/s) — the simpler single top-k stays.
-    vcmr_vid_local, vcmr_st, vcmr_ed, vcmr_scores = banded_topk_spans(
+    # banded joint, hierarchical-exact: per-(video, start) group maxima
+    # (window max of ed, monotonicity-exact) select the only groups that can
+    # hold top spans; only those expand and sort. Bit-equal to the flat
+    # banded top-k (ops/span.py) and 3.7x faster on v5e (14.1 -> 3.8 ms at
+    # corpus scale; the Pallas streaming-sort kernel measured 21.7 ms).
+    vcmr_vid_local, vcmr_st, vcmr_ed, vcmr_scores = banded_topk_spans_grouped(
         st_top, ed_top, topv_scores, cfg.min_pred_l, cfg.max_pred_l,
         cfg.max_before_nms)
 

@@ -27,7 +27,10 @@ import numpy as np
 
 from tvretrieval_tpu.models.xml import XML
 from tvretrieval_tpu.ops.masking import mask_logits
-from tvretrieval_tpu.ops.span import banded_top_spans_from_probs, banded_topk_spans
+from tvretrieval_tpu.ops.span import (
+    banded_top_spans_from_probs,
+    banded_topk_spans_grouped,
+)
 
 
 @dataclass
@@ -91,13 +94,13 @@ def _span_stage(model: XML, variables, cfg, vq, sq, vf2_g, sf2_g, mask_g,
     """Identical span scoring to the in-HBM fast path, on gathered rows."""
     f32 = jnp.float32
     st_logits, ed_logits = model.apply(
-        variables, vq, vf2_g.astype(f32), sq, sf2_g.astype(f32), mask_g,
+        variables, vq, vf2_g, sq, sf2_g, mask_g,
         method=XML.merged_st_ed_scores_gathered)
     st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)
     ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
     V = cfg.max_vcmr_video
     topv_exp = jnp.exp(cfg.q2c_alpha * topv_scores_cos)
-    vid_local, st_i, ed_i, scores = banded_topk_spans(
+    vid_local, st_i, ed_i, scores = banded_topk_spans_grouped(
         st_probs[:, :V], ed_probs[:, :V], topv_exp, cfg.min_pred_l,
         cfg.max_pred_l, cfg.max_before_nms)
     out = dict(vcmr_vid_local=vid_local, vcmr_st=st_i, vcmr_ed=ed_i,
