@@ -42,7 +42,13 @@ def make_synthetic_world(
     signal: float = 2.0,
     noise: float = 1.0,
     seed: int = 0,
+    query_dim: int = 0,
 ) -> SyntheticWorld:
+    """query_dim=0 (legacy): query tokens live in the concatenated
+    (text_dim + vid_dim) space. query_dim>0: queries live in their OWN
+    space (e.g. RoBERTa's 768-d like the real release) and the planted
+    signal reaches the video/subtitle spaces through fixed random linear
+    maps — a learnable relationship at real TVR feature dimensions."""
     rng = np.random.default_rng(seed)
     vid_names = [f"syn_vid_{i:05d}" for i in range(n_videos)]
     n_clips = rng.integers(max(4, max_clips // 2), max_clips + 1, size=n_videos)
@@ -50,6 +56,13 @@ def make_synthetic_world(
 
     topics = rng.normal(size=(n_videos, text_dim)).astype(np.float32)
     vid_topics = rng.normal(size=(n_videos, vid_dim)).astype(np.float32)
+    if query_dim:
+        # fixed projections query-space -> context spaces (scaled to keep
+        # planted components ~unit variance)
+        proj_v = (rng.normal(size=(query_dim, vid_dim))
+                  / np.sqrt(query_dim)).astype(np.float32)
+        proj_s = (rng.normal(size=(query_dim, text_dim))
+                  / np.sqrt(query_dim)).astype(np.float32)
 
     video_feats: Dict[str, np.ndarray] = {}
     sub_feats: Dict[str, np.ndarray] = {}
@@ -67,8 +80,15 @@ def make_synthetic_world(
         L = int(n_clips[vi])
         st_clip = int(rng.integers(0, max(L - 2, 1)))
         ed_clip = int(rng.integers(st_clip + 1, min(st_clip + 8, L) + 1))
-        content = rng.normal(size=(text_dim,)).astype(np.float32)
-        vid_content = rng.normal(size=(vid_dim,)).astype(np.float32)
+        if query_dim:
+            content_q = rng.normal(size=(query_dim,)).astype(np.float32)
+            content = content_q @ proj_s
+            vid_content = content_q @ proj_v
+            q_center = content_q
+        else:
+            content = rng.normal(size=(text_dim,)).astype(np.float32)
+            vid_content = rng.normal(size=(vid_dim,)).astype(np.float32)
+            q_center = np.concatenate([content, vid_content])
 
         # plant: strong inside the span, weak across the whole GT video
         video_feats[vid_names[vi]][st_clip:ed_clip] += signal * vid_content
@@ -77,8 +97,8 @@ def make_synthetic_world(
         sub_feats[vid_names[vi]] += 0.3 * signal * content
 
         n_tokens = int(rng.integers(5, 20))
-        q = (np.concatenate([content, vid_content])[None, :]
-             + 0.5 * rng.normal(size=(n_tokens, text_dim + vid_dim))).astype(np.float32)
+        q = (q_center[None, :]
+             + 0.5 * rng.normal(size=(n_tokens, len(q_center)))).astype(np.float32)
         desc_id = 90000 + qi
         query_feats[str(desc_id)] = q
         annotations.append({

@@ -72,8 +72,15 @@ class CorpusCache:
 
 
 def encode_corpus(model: XML, variables, builder: ExampleBuilder,
-                  corpus: CorpusIndex, cfg: RetrievalConfig) -> CorpusCache:
-    """Encode every corpus video once with the context encoders."""
+                  corpus: CorpusIndex, cfg: RetrievalConfig,
+                  batch_cache: Optional[list] = None) -> CorpusCache:
+    """Encode every corpus video once with the context encoders.
+
+    batch_cache: optional mutable list. Empty -> the host-built context
+    batches are appended to it; non-empty -> they are reused. Per-epoch
+    corpus re-encoding (train-time eval) then skips the host's per-row
+    batch building entirely (the 1-core host otherwise dominates at 21.8K
+    videos/epoch)."""
 
     @jax.jit
     def _encode(vars_, video_feat, video_mask, sub_feat, sub_mask):
@@ -93,14 +100,20 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
     n = len(corpus)
     bsz = min(cfg.context_bsz, n)
     chunks = {"vf1": [], "vf2": [], "sf1": [], "sf2": [], "mask": []}
-    for i in range(0, n, bsz):
+    use_cache = batch_cache is not None and len(batch_cache) > 0
+    for bi, i in enumerate(range(0, n, bsz)):
         names = corpus.vid_names[i:i + bsz]
         durs = corpus.durations[i:i + bsz]
         pad = bsz - len(names)
         if pad:  # static batch shape: repeat last video, sliced off below
             names = names + [names[-1]] * pad
             durs = durs + [durs[-1]] * pad
-        batch = builder.build_context_batch(names, durs)
+        if use_cache:
+            batch = batch_cache[bi]
+        else:
+            batch = builder.build_context_batch(names, durs)
+            if batch_cache is not None:
+                batch_cache.append(batch)
         vf1, vf2, sf1, sf2 = _encode(
             variables,
             jnp.asarray(batch.video_feat), jnp.asarray(batch.video_mask),

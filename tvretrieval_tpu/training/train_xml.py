@@ -41,6 +41,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="use a synthetic TVR-shaped world (no h5 needed)")
     p.add_argument("--synthetic_videos", type=int, default=64)
     p.add_argument("--synthetic_queries", type=int, default=256)
+    p.add_argument("--synthetic_vid_dim", type=int, default=64)
+    p.add_argument("--synthetic_text_dim", type=int, default=32)
+    p.add_argument("--synthetic_query_dim", type=int, default=0,
+                   help=">0: queries live in their own space (e.g. 768 like "
+                        "RoBERTa) with projected planted signal")
+    p.add_argument("--synthetic_max_clips", type=int, default=24)
+    p.add_argument("--synthetic_signal", type=float, default=2.0)
     p.add_argument("--train_path", type=str, default=None)
     p.add_argument("--eval_path", type=str, default=None)
     p.add_argument("--desc_bert_path", type=str, default=None)
@@ -130,6 +137,9 @@ def setup_world(args):
         from tvretrieval_tpu.data.synthetic import make_synthetic_world
         world = make_synthetic_world(
             n_videos=args.synthetic_videos, n_queries=args.synthetic_queries,
+            vid_dim=args.synthetic_vid_dim, text_dim=args.synthetic_text_dim,
+            query_dim=args.synthetic_query_dim,
+            max_clips=args.synthetic_max_clips, signal=args.synthetic_signal,
             clip_length=args.clip_length, seed=args.seed)
         n_train = int(len(world.annotations) * 0.75)
         train_rows = world.annotations[:n_train]
@@ -222,11 +232,12 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
 
 
 def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
-                            args, tasks):
+                            args, tasks, ctx_batch_cache=None):
     """Array-path per-epoch eval: no prediction dicts, no files. Returns
     (metrics, arrays); build a submission from arrays only when needed
     (best epoch). Falls back to nothing special — DiDeMo multi-annotation
-    rows need the dict path."""
+    rows need the dict path. ctx_batch_cache: persistent list reusing the
+    host-built context batches across epochs."""
     from tvretrieval_tpu.evaluation.metrics import eval_retrieval_arrays
     from tvretrieval_tpu.retrieval.engine import (
         RetrievalConfig, encode_corpus, retrieve)
@@ -237,7 +248,8 @@ def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
         max_vcmr_video=min(args.max_vcmr_video, len(corpus)),
         query_bsz=args.eval_query_bsz,
         context_bsz=args.eval_context_bsz, clip_length=args.clip_length)
-    cache = encode_corpus(model, variables, builder, corpus, rcfg)
+    cache = encode_corpus(model, variables, builder, corpus, rcfg,
+                          batch_cache=ctx_batch_cache)
     arrays = retrieve(model, variables, builder, cache, eval_rows, corpus,
                       rcfg, tasks=tasks, return_arrays=True,
                       external_vr_path=getattr(
@@ -350,10 +362,11 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     best_metrics = None
     ckpt_dir = os.path.join(results_dir, "ckpt")
 
+    ctx_batch_cache: list = []   # host-built context batches, reused per epoch
     if args.eval_untrained and eval_rows:
         metrics, _ = evaluate_retrieval_fast(
             trainer.model, trainer.variables(), builder, corpus, eval_rows,
-            args, tasks=settings.eval_tasks)
+            args, tasks=settings.eval_tasks, ctx_batch_cache=ctx_batch_cache)
         eval_log.write(f"[epoch -1] {json.dumps(metrics)}\n")
         eval_log.flush()
         logger.info("untrained eval: %s", json.dumps(
@@ -392,7 +405,8 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
         else:
             metrics, eval_arrays = evaluate_retrieval_fast(
                 trainer.model, trainer.variables(), builder, corpus,
-                eval_rows, args, tasks=settings.eval_tasks)
+                eval_rows, args, tasks=settings.eval_tasks,
+                ctx_batch_cache=ctx_batch_cache)
         eval_log.write(f"[epoch {epoch}] {json.dumps(metrics)}\n")
         eval_log.flush()
         if eval_losses:

@@ -75,6 +75,8 @@ class XMLTrainer:
         t_total = self.steps_per_epoch * settings.n_epoch
 
         self.prebuilt = None
+        self._eval_prebuilt = None
+        self._eval_prebuilt_key = None
         if settings.prebuild_examples:
             from tvretrieval_tpu.data.datasets import PrebuiltExamples
             self.prebuilt = PrebuiltExamples(
@@ -101,12 +103,14 @@ class XMLTrainer:
 
     # ------------------------------------------------------------------ build
     def _build(self, rows):
-        if self.prebuilt is not None:
-            try:
-                b = self.prebuilt.batch_for_rows(rows)
-            except KeyError:  # rows outside the cache (e.g. eval-loss rows)
-                b = self.builder.build_train_batch(rows)
-        else:
+        b = None
+        for pre in (self.prebuilt, self._eval_prebuilt):
+            if pre is not None and b is None:
+                try:
+                    b = pre.batch_for_rows(rows)
+                except KeyError:  # rows outside this cache
+                    b = None
+        if b is None:
             b = self.builder.build_train_batch(rows)
         return {k: jnp.asarray(v) for k, v in b.model_inputs().items()}
 
@@ -213,6 +217,12 @@ class XMLTrainer:
                            seed=self.s.seed)
         if len(it) == 0:
             return {}
+        if self.prebuilt is not None and self._eval_prebuilt_key != id(eval_rows):
+            # eval rows recur every epoch: cache them like the train rows
+            from tvretrieval_tpu.data.datasets import PrebuiltExamples
+            self._eval_prebuilt = PrebuiltExamples(
+                self.builder, eval_rows, dtype=np.dtype(self.s.prebuild_dtype))
+            self._eval_prebuilt_key = id(eval_rows)
         for rows in it:
             batch = self._put(self._build(rows))
             _, loss_dict = self._eval_step(self.params, batch, lw, neg_upper)
