@@ -24,9 +24,11 @@ import numpy as np
 
 
 def _sync(x) -> None:
-    """Fence: force one element to the host."""
+    """Fence: force ONE element to the host (indexing first — a device_get
+    of the full leaf would ship megabytes through the remote-TPU tunnel and
+    dominate the timing)."""
     leaf = jax.tree_util.tree_leaves(x)[0]
-    _ = np.asarray(jax.device_get(leaf)).ravel()[:1]
+    _ = jax.device_get(leaf[(0,) * leaf.ndim])
 
 
 def time_stage(fn: Callable, n_warmup: int = 2, n_runs: int = 5) -> float:
@@ -219,6 +221,158 @@ class ProfileXMLTrain:
         }
 
 
+# Reference profiling constants (profile_main.py:36-53): 1M-video corpus,
+# 10K queries, 20 clips/video (5s clips over 100s), 170 proposals/video
+# padded to 14 clips, hsz 256, ctx batch 400, query batch 100.
+REF_N_VIDEOS = 1_000_000
+REF_CTX_BSZ = 400
+REF_QUERY_BSZ = 100
+REF_CLIPS_PER_VIDEO = 20
+REF_PROPOSALS_PER_VIDEO = 170
+REF_MAX_CLIPS_PER_PROPOSAL = 14
+
+
+class ProfileMEE:
+    """MEE stage timers (reference ProfileMEE, profile_main.py:231-312):
+    context GEU encoding, query pooling+GEU+MoE, and the corpus retrieval
+    matmul — extrapolated to the 1M-video corpus."""
+
+    def __init__(self):
+        from tvretrieval_tpu.models.mee import MEE, MEEConfig
+
+        self.model = MEE(MEEConfig(vid_input_size=3074, text_input_size=768,
+                                   output_size=256))
+        ks = jax.random.split(jax.random.PRNGKey(0), 5)
+        self.vid = jax.random.normal(ks[0], (REF_CTX_BSZ, 3074))
+        self.sub = jax.random.normal(ks[1], (REF_CTX_BSZ, 768))
+        self.query = jax.random.normal(ks[2], (REF_QUERY_BSZ, 15, 768))
+        dummy_q = jnp.zeros((2, 15, 768))
+        self.variables = self.model.init(
+            jax.random.PRNGKey(3), dummy_q, jnp.ones((2, 15)),
+            jnp.zeros((2, 3074)), jnp.zeros((2, 768)), train=False)
+        # retrieval stage: queries against a 100K-video encoded block
+        self.block = 100_000
+        self.enc_v = jax.random.normal(ks[3], (self.block, 256))
+        self.enc_s = jax.random.normal(ks[4], (self.block, 256))
+
+        m, v = self.model, self.variables
+        self._enc = jax.jit(lambda vid, sub: m.apply(
+            v, vid, sub, method=m.__class__.encode_context))
+        self._query = jax.jit(lambda q: m.apply(
+            v, q, method=m.__class__.pool_query))
+        self._score = jax.jit(lambda p, ev, es: m.apply(
+            v, p, ev, es, method=m.__class__.scores))
+
+    def profile(self):
+        pooled = self._query(self.query)
+        r = {
+            "ctx_encode_batch_s": time_stage(lambda: self._enc(self.vid, self.sub)),
+            "query_encode_batch_s": time_stage(lambda: self._query(self.query)),
+            "retrieval_100k_block_s": time_stage(
+                lambda: self._score(pooled, self.enc_v, self.enc_s)),
+        }
+        r[f"extrapolated_{REF_N_VIDEOS}v_ctx_encode_s"] = (
+            r["ctx_encode_batch_s"] * REF_N_VIDEOS / REF_CTX_BSZ)
+        r[f"extrapolated_{REF_N_VIDEOS}v_retrieval_s_per_{REF_QUERY_BSZ}q"] = (
+            r["retrieval_100k_block_s"] * REF_N_VIDEOS / self.block)
+        return r
+
+
+class ProfileCAL:
+    """CAL stage timers (reference ProfileCAL, profile_main.py:314-375):
+    proposal MLP encoding and the corpus cdist rerank over padded proposal
+    batches — extrapolated to 1M videos x 170 proposals."""
+
+    def __init__(self):
+        from tvretrieval_tpu.models.cal import CALWithSub, CALConfig
+
+        cfg = CALConfig()
+        self.model = CALWithSub(cfg)
+        Lc = REF_MAX_CLIPS_PER_PROPOSAL
+        ks = jax.random.split(jax.random.PRNGKey(0), 6)
+        z = lambda d: jnp.zeros((2, Lc, d))
+        self.variables = self.model.init(
+            jax.random.PRNGKey(1), jnp.zeros((2, 15, 768)), jnp.ones((2, 15)),
+            z(cfg.visual_input_size), z(cfg.textual_input_size), jnp.ones((2, Lc)),
+            z(cfg.visual_input_size), z(cfg.textual_input_size), jnp.ones((2, Lc)),
+            z(cfg.visual_input_size), z(cfg.textual_input_size), jnp.ones((2, Lc)))
+        self.mom_v = jax.random.normal(ks[0], (REF_CTX_BSZ, Lc, cfg.visual_input_size))
+        self.mom_s = jax.random.normal(ks[1], (REF_CTX_BSZ, Lc, cfg.textual_input_size))
+        self.query = jax.random.normal(ks[2], (REF_QUERY_BSZ, 15, 768))
+        self.qmask = jnp.ones((REF_QUERY_BSZ, 15))
+        # rerank block: 10K proposals (~59 videos' worth) per program
+        self.n_prop = 10_000
+        self.emb_v = jax.random.normal(ks[3], (self.n_prop, Lc, cfg.output_size))
+        self.emb_s = jax.random.normal(ks[4], (self.n_prop, Lc, cfg.output_size))
+        self.pmask = jnp.ones((self.n_prop, Lc))
+        self.qemb = jax.random.normal(ks[5], (REF_QUERY_BSZ, cfg.output_size))
+
+        m, v = self.model, self.variables
+        self._enc = jax.jit(lambda mom, s: m.apply(
+            v, mom, s, method=m.__class__.encode_moments), static_argnames="s")
+        self._encq = jax.jit(lambda q, qm: m.apply(
+            v, q, qm, method=m.__class__.encode_query))
+        self._cdist = jax.jit(lambda qe, ev, es, pm: m.apply(
+            v, qe, ev, es, pm, method=m.__class__.cdist_from_encoded))
+
+    def profile(self):
+        r = {
+            "moment_encode_batch_s": time_stage(
+                lambda: self._enc(self.mom_v, "video")),
+            "query_encode_batch_s": time_stage(
+                lambda: self._encq(self.query, self.qmask)),
+            "cdist_10k_proposals_s": time_stage(
+                lambda: self._cdist(self.qemb, self.emb_v, self.emb_s,
+                                    self.pmask)),
+        }
+        total_props = REF_N_VIDEOS * REF_PROPOSALS_PER_VIDEO
+        r[f"extrapolated_{REF_N_VIDEOS}v_moment_encode_s"] = (
+            r["moment_encode_batch_s"] * 2 * total_props / REF_CTX_BSZ)
+        r[f"extrapolated_{REF_N_VIDEOS}v_cdist_s_per_{REF_QUERY_BSZ}q"] = (
+            r["cdist_10k_proposals_s"] * total_props / self.n_prop)
+        return r
+
+
+class ProfileExCL:
+    """ExCL stage timers (reference ProfileExCL, profile_main.py:377-472):
+    per-(query, video) span scoring — ExCL has no pre-encodable context, so
+    corpus retrieval costs a full forward per pair (the reference's point:
+    early fusion cannot scale; extrapolation shows why)."""
+
+    def __init__(self):
+        from tvretrieval_tpu.models.excl import ExCL, ExCLConfig
+
+        cfg = ExCLConfig()
+        self.model = ExCL(cfg)
+        L = REF_CLIPS_PER_VIDEO
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        self.variables = self.model.init(
+            jax.random.PRNGKey(1), jnp.zeros((2, 15, 768)), jnp.ones((2, 15)),
+            jnp.zeros((2, L, cfg.visual_input_size)), jnp.ones((2, L)),
+            jnp.zeros((2, L, cfg.sub_input_size)), jnp.ones((2, L)),
+            jnp.zeros((2, 2), jnp.int32))
+        # one query against a batch of 100 candidate videos (pair batch)
+        B = REF_QUERY_BSZ
+        self.q = jnp.broadcast_to(jax.random.normal(ks[0], (1, 15, 768)), (B, 15, 768))
+        self.qm = jnp.ones((B, 15))
+        self.vf = jax.random.normal(ks[1], (B, L, cfg.visual_input_size))
+        self.sf = jax.random.normal(ks[2], (B, L, cfg.sub_input_size))
+        self.cm = jnp.ones((B, L))
+
+        m, v = self.model, self.variables
+        self._spans = jax.jit(lambda q, qm, vf, vm, sf, sm: m.apply(
+            v, q, qm, vf, vm, sf, sm, method=m.__class__.span_logits))
+
+    def profile(self):
+        r = {"span_scores_100pairs_s": time_stage(
+            lambda: self._spans(self.q, self.qm, self.vf, self.cm,
+                                self.sf, self.cm))}
+        # VCMR over the full corpus = N_videos pairs per query
+        r[f"extrapolated_{REF_N_VIDEOS}v_s_per_query"] = (
+            r["span_scores_100pairs_s"] * REF_N_VIDEOS / 100)
+        return r
+
+
 def profile_data_pipeline(bsz: int = 128, n_videos: int = 200,
                           n_queries: int = 1024) -> Dict[str, float]:
     """Host batch-building cost at flagship dims (video 3072-d, sub 768-d,
@@ -281,12 +435,24 @@ def main(argv=None):
                         help="profile the flagship train step instead")
     parser.add_argument("--data", action="store_true",
                         help="profile host batch building (no device needed)")
+    parser.add_argument("--baselines", action="store_true",
+                        help="profile MEE/CAL/ExCL stage timers (reference "
+                             "profile_main.py scales)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     args = parser.parse_args(argv)
 
     if args.data:
         results = profile_data_pipeline()
+        print(json.dumps(results, indent=2))
+        return results
+
+    if args.baselines:
+        results = {}
+        for name, cls in (("mee", ProfileMEE), ("cal", ProfileCAL),
+                          ("excl", ProfileExCL)):
+            results[name] = cls().profile()
+            print(name, json.dumps(results[name]), flush=True)
         print(json.dumps(results, indent=2))
         return results
 

@@ -155,19 +155,24 @@ def load_proposal_cache(path: str) -> ProposalCorpusCache:
 def cal_retrieve(model: CALWithSub, variables, builder: CALExampleBuilder,
                  cache: ProposalCorpusCache, corpus: CorpusIndex,
                  query_rows: List[dict], tasks: Sequence[str] = ("VCMR", "SVMR"),
-                 query_bsz: int = 100, max_before_nms: int = 200) -> Dict[str, list]:
+                 query_bsz: int = 100, max_before_nms: int = 200,
+                 return_arrays: bool = False):
     """VCMR: flat top-k smallest distance over (video, proposal); SVMR:
     rank proposals of the GT video (reference :377-500). Scores reported as
-    negative distances (larger = better), like the reference."""
+    negative distances (larger = better), like the reference.
+
+    return_arrays: row-aligned numpy arrays {(vid, spans, scores)} for
+    eval_retrieval_arrays — the per-epoch eval path skips dict building."""
     P = cache.prop_spans.shape[1]
     meta_video_idx = np.asarray([corpus.video2idx[v] for v in corpus.vid_names])
     vid2meta = {v: i for i, v in enumerate(corpus.vid_names)}
     cache_tuple = (cache.mean_emb_video, cache.mean_sq_video,
                    cache.mean_emb_sub, cache.mean_sq_sub, cache.prop_mask)
 
-    vcmr_res, svmr_res = [], []
+    top_ds, top_idxs, svmr_chunks = [], [], []
     bsz = min(query_bsz, len(query_rows))
     topk = min(max_before_nms, cache.n_videos * P)
+    do_svmr = "SVMR" in tasks
     for i in range(0, len(query_rows), bsz):
         rows = query_rows[i:i + bsz]
         pad = bsz - len(rows)
@@ -175,32 +180,51 @@ def cal_retrieve(model: CALWithSub, variables, builder: CALExampleBuilder,
         top_d, top_idx, full_d = _score_proposals(
             model, variables, jnp.asarray(qb["query_feat"]),
             jnp.asarray(qb["query_mask"]), cache_tuple, topk)
-        top_d = np.asarray(top_d)[: len(rows)]
-        top_idx = np.asarray(top_idx)[: len(rows)]
-        if "SVMR" in tasks:
-            full_d = np.asarray(full_d)[: len(rows)].reshape(len(rows), cache.n_videos, P)
+        top_ds.append(np.asarray(top_d)[: len(rows)])
+        top_idxs.append(np.asarray(top_idx)[: len(rows)])
+        if do_svmr:
+            fd = np.asarray(full_d)[: len(rows)].reshape(
+                len(rows), cache.n_videos, P)
+            gt = np.asarray([vid2meta.get(r.get("vid_name"), 0) for r in rows])
+            svmr_chunks.append(fd[np.arange(len(rows)), gt])      # (B, P)
 
-        for qi, row in enumerate(rows):
-            if "VCMR" in tasks:
-                v_meta = top_idx[qi] // P
-                p_idx = top_idx[qi] % P
-                preds = [[int(meta_video_idx[v]),
-                          float(cache.prop_spans[v, p, 0]),
-                          float(cache.prop_spans[v, p, 1]),
-                          float(-d)]
-                         for v, p, d in zip(v_meta, p_idx, top_d[qi])]
-                vcmr_res.append({"desc_id": row["desc_id"],
-                                 "desc": row.get("desc", ""), "predictions": preds})
-            if "SVMR" in tasks and row.get("vid_name") in vid2meta:
-                v = vid2meta[row["vid_name"]]
-                dists = full_d[qi, v]
-                order = np.argsort(dists)[:max_before_nms]
-                vid_idx = int(meta_video_idx[v])
-                preds = [[vid_idx, float(cache.prop_spans[v, p, 0]),
-                          float(cache.prop_spans[v, p, 1]), float(-dists[p])]
-                         for p in order]
-                svmr_res.append({"desc_id": row["desc_id"],
-                                 "desc": row.get("desc", ""), "predictions": preds})
+    # vectorized conversion (one pass, no per-query python)
+    top_d = np.concatenate(top_ds, axis=0)
+    top_idx = np.concatenate(top_idxs, axis=0)
+    v_meta, p_idx = top_idx // P, top_idx % P
+    vcmr_vid = meta_video_idx[v_meta]                             # (Nq, K)
+    vcmr_spans = cache.prop_spans[v_meta, p_idx]                  # (Nq, K, 2)
+    vcmr_scores = -top_d
+
+    if do_svmr:
+        sd = np.concatenate(svmr_chunks, axis=0)                  # (Nq, P)
+        k2 = min(max_before_nms, P)
+        order = np.argsort(sd, axis=1)[:, :k2]
+        gt_meta = np.asarray([vid2meta.get(r.get("vid_name"), 0)
+                              for r in query_rows])
+        svmr_vid = np.broadcast_to(meta_video_idx[gt_meta][:, None], order.shape)
+        svmr_spans = cache.prop_spans[gt_meta[:, None], order]
+        svmr_scores = -np.take_along_axis(sd, order, axis=1)
+
+    if return_arrays:
+        out = {}
+        if "VCMR" in tasks:
+            out["VCMR"] = (vcmr_vid, vcmr_spans, vcmr_scores)
+        if do_svmr:
+            out["SVMR"] = (svmr_vid, svmr_spans, svmr_scores)
+        return out
+
+    vcmr_res, svmr_res = [], []
+    for qi, row in enumerate(query_rows):
+        head = dict(desc_id=row["desc_id"], desc=row.get("desc", ""))
+        if "VCMR" in tasks:
+            vcmr_res.append({**head, "predictions": [
+                [int(v), float(s0), float(s1), float(sc)] for v, (s0, s1), sc
+                in zip(vcmr_vid[qi], vcmr_spans[qi], vcmr_scores[qi])]})
+        if do_svmr and row.get("vid_name") in vid2meta:
+            svmr_res.append({**head, "predictions": [
+                [int(v), float(s0), float(s1), float(sc)] for v, (s0, s1), sc
+                in zip(svmr_vid[qi], svmr_spans[qi], svmr_scores[qi])]})
 
     out = {}
     if vcmr_res:

@@ -37,8 +37,10 @@ def _score_queries(model: MEE, variables, query_feat, enc_video, enc_sub,
 def mee_retrieve_vr(model: MEE, variables, builder: MEEExampleBuilder,
                     corpus: CorpusIndex, query_rows: List[dict],
                     ctx_bsz: int = 400, query_bsz: int = 100,
-                    topk: int = 100) -> Dict[str, list]:
-    """Returns {"VR": [...]} submission entries."""
+                    topk: int = 100, return_arrays: bool = False):
+    """Returns {"VR": [...]} submission entries, or with
+    ``return_arrays=True`` the row-aligned (Nq, topk) video-idx and score
+    arrays for eval_retrieval_arrays (per-epoch eval skips dict building)."""
     topk = min(topk, len(corpus))
     # encode corpus
     enc_v, enc_s = [], []
@@ -63,7 +65,7 @@ def mee_retrieve_vr(model: MEE, variables, builder: MEEExampleBuilder,
 
     meta_video_idx = np.asarray([corpus.video2idx[v] for v in corpus.vid_names])
 
-    vr_res = []
+    all_scores, all_vid = [], []
     bsz = min(query_bsz, len(query_rows))
     for i in range(0, len(query_rows), bsz):
         rows = query_rows[i:i + bsz]
@@ -72,12 +74,15 @@ def mee_retrieve_vr(model: MEE, variables, builder: MEEExampleBuilder,
         scores, idx = _score_queries(model, variables,
                                      jnp.asarray(qb["query_feat"]),
                                      enc_v, enc_s, topk)
-        scores = np.asarray(scores)[: len(rows)]
-        vid_idx = meta_video_idx[np.asarray(idx)[: len(rows)]]
-        for qi, row in enumerate(rows):
-            vr_res.append({
-                "desc_id": row["desc_id"], "desc": row.get("desc", ""),
-                "predictions": [[int(v), 0, 0, float(s)]
-                                for v, s in zip(vid_idx[qi], scores[qi])],
-            })
+        all_scores.append(np.asarray(scores)[: len(rows)])
+        all_vid.append(meta_video_idx[np.asarray(idx)[: len(rows)]])
+    scores = np.concatenate(all_scores, axis=0)
+    vid_idx = np.concatenate(all_vid, axis=0)
+    if return_arrays:
+        return {"VR": (vid_idx, scores)}
+    vr_res = [{
+        "desc_id": row["desc_id"], "desc": row.get("desc", ""),
+        "predictions": [[int(v), 0, 0, float(s)]
+                        for v, s in zip(vid_idx[qi], scores[qi])],
+    } for qi, row in enumerate(query_rows)]
     return {"VR": vr_res}

@@ -110,7 +110,7 @@ def setup_world(args):
 
 
 def start_training(argv: Optional[List[str]] = None) -> dict:
-    from tvretrieval_tpu.evaluation.metrics import eval_retrieval
+
     from tvretrieval_tpu.evaluation.submission import submission_top_n
     from tvretrieval_tpu.models.cal import CALConfig, CALWithSub
     from tvretrieval_tpu.retrieval.proposal_engine import (
@@ -173,18 +173,27 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
             continue
         cache = encode_proposal_corpus(model, trainer.variables(), builder,
                                        corpus, dset_name=args.dset_name)
-        raw = cal_retrieve(model, trainer.variables(), builder, cache, corpus,
-                           eval_rows, tasks=("VCMR", "SVMR"),
-                           query_bsz=args.eval_query_bsz,
-                           max_before_nms=args.max_before_nms)
-        raw["video2idx"] = corpus.video2idx
-        submission = submission_top_n(raw, 100)
-        metrics = eval_retrieval(submission, eval_rows,
-                                 use_desc_type=args.dset_name == "tvr")
+        # array-path per-epoch eval; dict submission only on a new best
+        from tvretrieval_tpu.evaluation.metrics import eval_retrieval_arrays
+        arrays = cal_retrieve(model, trainer.variables(), builder, cache,
+                              corpus, eval_rows, tasks=("VCMR", "SVMR"),
+                              query_bsz=args.eval_query_bsz,
+                              max_before_nms=args.max_before_nms,
+                              return_arrays=True)
+        metrics = eval_retrieval_arrays(
+            eval_rows, corpus.video2idx,
+            vcmr=arrays["VCMR"][:2], svmr=arrays["SVMR"][:2],
+            use_desc_type=args.dset_name == "tvr")
         stop_score = metrics["VCMR"]["0.5-r1"] + metrics["VCMR"]["0.7-r1"]
         logger.info("epoch %d VCMR %s", epoch, json.dumps(metrics["VCMR"]))
         if stop_score > prev_best:
             prev_best, es_cnt, best_metrics = stop_score, 0, metrics
+            raw = cal_retrieve(model, trainer.variables(), builder, cache,
+                               corpus, eval_rows, tasks=("VCMR", "SVMR"),
+                               query_bsz=args.eval_query_bsz,
+                               max_before_nms=args.max_before_nms)
+            raw["video2idx"] = corpus.video2idx
+            submission = submission_top_n(raw, 100)
             save_json(submission, os.path.join(results_dir, "best_predictions.json"))
             save_json(metrics,
                       os.path.join(results_dir, "best_predictions_metrics.json"),

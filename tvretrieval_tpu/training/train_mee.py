@@ -82,7 +82,7 @@ def setup_world(args):
 
 
 def start_training(argv: Optional[List[str]] = None) -> dict:
-    from tvretrieval_tpu.evaluation.metrics import eval_retrieval
+    from tvretrieval_tpu.evaluation.metrics import eval_retrieval_arrays
     from tvretrieval_tpu.evaluation.submission import submission_top_n
     from tvretrieval_tpu.models.mee import MEE, MEEConfig
     from tvretrieval_tpu.retrieval.vr_engine import mee_retrieve_vr
@@ -131,17 +131,26 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
         logger.info("epoch %d loss %.4f", epoch, losses["loss"])
         if not eval_rows:
             continue
-        raw = mee_retrieve_vr(model, trainer.variables(), builder, corpus,
-                              eval_rows, ctx_bsz=args.eval_ctx_bsz,
-                              query_bsz=args.eval_query_bsz)
-        raw["video2idx"] = corpus.video2idx
-        submission = submission_top_n(raw, 100)
-        metrics = eval_retrieval(submission, eval_rows,
-                                 use_desc_type=args.dset_name == "tvr")
+        # array-path per-epoch eval (no prediction dicts); the dict
+        # submission is built only when a new best is found
+        arrays = mee_retrieve_vr(model, trainer.variables(), builder, corpus,
+                                 eval_rows, ctx_bsz=args.eval_ctx_bsz,
+                                 query_bsz=args.eval_query_bsz,
+                                 return_arrays=True)
+        metrics = eval_retrieval_arrays(
+            eval_rows, corpus.video2idx, vr=arrays["VR"][0],
+            use_desc_type=args.dset_name == "tvr")
         stop_score = metrics["VR"]["r1"] + metrics["VR"]["r5"]
         logger.info("epoch %d VR %s", epoch, json.dumps(metrics["VR"]))
         if stop_score > prev_best:
             prev_best, es_cnt, best_metrics = stop_score, 0, metrics
+            vid_idx, scores = arrays["VR"]
+            submission = {"video2idx": corpus.video2idx, "VR": [
+                {"desc_id": r["desc_id"], "desc": r.get("desc", ""),
+                 "predictions": [[int(v), 0, 0, float(s)] for v, s in
+                                 zip(vid_idx[qi], scores[qi])]}
+                for qi, r in enumerate(eval_rows)]}
+            submission = submission_top_n(submission, 100)
             save_json(submission,
                       os.path.join(results_dir, "best_predictions.json"))
             save_json(metrics,
