@@ -42,7 +42,7 @@ class LinearLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         if self.layer_norm:
-            x = nn.LayerNorm(epsilon=LN_EPS, name="ln")(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, kernel_init=_normal_init(), dtype=self.dtype, name="dense")(x)
         if self.relu:
@@ -63,7 +63,7 @@ class TrainablePositionalEncoding(nn.Module):
         dim = x.shape[-1]
         pos = self.param("pos_embed", _normal_init(), (self.max_len, dim))
         L = x.shape[-2]
-        x = nn.LayerNorm(epsilon=LN_EPS, name="ln")(x + pos[:L])
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln")(x + pos[:L])
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
@@ -131,7 +131,7 @@ class BertSelfOutput(nn.Module):
         hidden = nn.Dense(hidden.shape[-1], kernel_init=_normal_init(),
                           dtype=self.dtype, name="dense")(hidden)
         hidden = nn.Dropout(self.dropout)(hidden, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=LN_EPS, name="ln")(hidden + residual)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln")(hidden + residual)
 
 
 class BertAttention(nn.Module):
@@ -181,7 +181,7 @@ class ConvEncoder(nn.Module):
                  *, deterministic: bool = True) -> jnp.ndarray:
         y = DepthwiseSeparableConv(self.kernel_size, dtype=self.dtype, name="conv")(x)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=LN_EPS, name="ln")(y + x)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln")(y + x)
 
 
 class Conv1dSame(nn.Module):

@@ -139,7 +139,7 @@ class XML(nn.Module):
             self.video_encoder2 = self._make_encoder()
             if c.cross_att:
                 self.video_cross_att = BertSelfAttention(c.n_heads, c.drop, dt)
-                self.video_cross_ln = nn.LayerNorm(epsilon=1e-5)
+                self.video_cross_ln = nn.LayerNorm(epsilon=1e-5, dtype=dt)
             elif c.encoder_type == "transformer":
                 self.video_encoder3 = self._make_encoder()
             self.video_query_linear = nn.Dense(c.hidden_size, kernel_init=_normal_init(), dtype=dt)
@@ -158,7 +158,7 @@ class XML(nn.Module):
             self.sub_encoder2 = self._make_encoder()
             if c.cross_att:
                 self.sub_cross_att = BertSelfAttention(c.n_heads, c.drop, dt)
-                self.sub_cross_ln = nn.LayerNorm(epsilon=1e-5)
+                self.sub_cross_ln = nn.LayerNorm(epsilon=1e-5, dtype=dt)
             elif c.encoder_type == "transformer":
                 self.sub_encoder3 = self._make_encoder()
             self.sub_query_linear = nn.Dense(c.hidden_size, kernel_init=_normal_init(), dtype=dt)

@@ -31,16 +31,17 @@ def _sync(x) -> None:
     _ = jax.device_get(leaf[(0,) * leaf.ndim])
 
 
-def time_stage(fn: Callable, n_warmup: int = 2, n_runs: int = 5) -> float:
-    """Median wall-clock seconds of fn() with a device fence per run."""
+def time_stage(fn: Callable, n_warmup: int = 2, n_runs: int = 10) -> float:
+    """Mean wall-clock seconds of fn(), pipelined: the n_runs dispatches
+    queue back-to-back on device with ONE final fence, so the remote-TPU
+    relay's ~30 ms per-fence round trip amortizes to ~3 ms (the same
+    steady-state methodology as bench.py)."""
     for _ in range(n_warmup):
         _sync(fn())
-    times = []
-    for _ in range(n_runs):
-        t0 = time.perf_counter()
-        _sync(fn())
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    t0 = time.perf_counter()
+    outs = [fn() for _ in range(n_runs)]
+    _sync(outs[-1])
+    return (time.perf_counter() - t0) / n_runs
 
 
 def index_storage_gb(hsz: int, n_videos: int, n_clips_per_video: int,
