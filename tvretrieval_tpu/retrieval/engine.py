@@ -113,7 +113,13 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
         else:
             batch = builder.build_context_batch(names, durs)
             if batch_cache is not None:
+                # cache features as float16: halves host RAM and the
+                # host->device transfer each epoch (features are
+                # l2-normalized; the model upcasts on entry)
+                batch.video_feat = batch.video_feat.astype(np.float16)
+                batch.sub_feat = batch.sub_feat.astype(np.float16)
                 batch_cache.append(batch)
+                batch = batch_cache[bi]
         vf1, vf2, sf1, sf2 = _encode(
             variables,
             jnp.asarray(batch.video_feat), jnp.asarray(batch.video_mask),

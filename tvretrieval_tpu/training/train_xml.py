@@ -48,6 +48,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "RoBERTa) with projected planted signal")
     p.add_argument("--synthetic_max_clips", type=int, default=24)
     p.add_argument("--synthetic_signal", type=float, default=2.0)
+    p.add_argument("--synthetic_train_frac", type=float, default=0.75,
+                   help="train/eval split of the synthetic queries")
     p.add_argument("--train_path", type=str, default=None)
     p.add_argument("--eval_path", type=str, default=None)
     p.add_argument("--desc_bert_path", type=str, default=None)
@@ -141,7 +143,7 @@ def setup_world(args):
             query_dim=args.synthetic_query_dim,
             max_clips=args.synthetic_max_clips, signal=args.synthetic_signal,
             clip_length=args.clip_length, seed=args.seed)
-        n_train = int(len(world.annotations) * 0.75)
+        n_train = int(len(world.annotations) * args.synthetic_train_frac)
         train_rows = world.annotations[:n_train]
         eval_rows = world.annotations[n_train:]
         builder = ExampleBuilder(
