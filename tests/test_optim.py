@@ -28,6 +28,31 @@ def test_warmup_linear_multiplier():
     assert float(fn(jnp.asarray(100))) == pytest.approx(0.0)
 
 
+def test_ema_matches_torch_reference(rng):
+    """EMA shadow trajectory vs the reference EMA class
+    (optimization.py:183-216)."""
+    from tvretrieval_tpu.training.optimization import ema_init, ema_update
+    torch, ref = _load_reference_optim()
+
+    decay = 0.9
+    p0 = rng.normal(size=(5, 3)).astype(np.float32)
+    m = torch.nn.Module()
+    m.p = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    tema = ref.EMA(decay)
+    tema.register("p", m.p.data)
+
+    shadow = ema_init({"p": jnp.asarray(p0)})
+    params = {"p": jnp.asarray(p0)}
+    for step in range(5):
+        delta = rng.normal(size=(5, 3)).astype(np.float32)
+        m.p.data += torch.from_numpy(delta)
+        params = {"p": params["p"] + jnp.asarray(delta)}
+        tema(m, step)
+        shadow = ema_update(shadow, params, decay, step=step)
+        np.testing.assert_allclose(np.asarray(shadow["p"]),
+                                   tema.shadow["p"].numpy(), rtol=1e-6)
+
+
 def test_bert_adam_matches_torch_reference(rng):
     torch, ref = _load_reference_optim()
 

@@ -64,6 +64,23 @@ def no_decay_mask(params) -> dict:
     return jax.tree_util.tree_map_with_path(decay, params)
 
 
+def ema_init(params) -> optax.Params:
+    """Shadow copy for an exponential moving average of the parameters
+    (reference optimization.py:183-216 EMA.register; the reference ships it
+    in its optimizer module though its training path never enables it)."""
+    return jax.tree.map(jnp.array, params)
+
+
+def ema_update(shadow, params, decay: float = 0.999, step=None):
+    """shadow <- d * shadow + (1 - d) * params with the reference's warmup
+    ramp d = min(decay, (1 + step) / (10 + step)) (EMA.__call__,
+    optimization.py:196-203). Pure: jit it into the train step; swap the
+    shadow in for evaluation (the reference's assign/resume)."""
+    d = decay if step is None else jnp.minimum(
+        decay, (1.0 + step) / (10.0 + step))
+    return jax.tree.map(lambda s, p: d * s + (1.0 - d) * p, shadow, params)
+
+
 class BertAdamState(NamedTuple):
     step: jnp.ndarray
     m: optax.Updates
