@@ -13,7 +13,7 @@ them as fixed-shape padded (n_proposals, 2) second-spans.
 from __future__ import annotations
 
 import itertools
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -5,7 +5,7 @@ The submission contract matches reference standalone_eval/README.md:22-88 and
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 

@@ -14,9 +14,8 @@ loop itself is testable with a random-init tiny config.
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Callable, Iterable, List, Optional, Tuple
+from typing import Iterable, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ egress) — pass --model_path. The core extraction loop is dependency-injected
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, List, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ fake backbone.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, Tuple
+from typing import Callable, Dict
 
 import numpy as np
 

@@ -7,7 +7,7 @@ globally unique across splits.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Sequence
+from typing import Dict, Mapping, Sequence
 
 from tvretrieval_tpu.utils.io import save_json
 

@@ -9,7 +9,7 @@ only the valid prefix (same semantics as pack_padded_sequence).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

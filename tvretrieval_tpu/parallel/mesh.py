@@ -10,7 +10,7 @@ The reference's only parallelism is single-node torch DataParallel
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

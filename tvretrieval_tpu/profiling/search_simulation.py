@@ -18,7 +18,6 @@ import functools
 import json
 import time
 from dataclasses import dataclass
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

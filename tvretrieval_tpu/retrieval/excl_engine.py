@@ -14,7 +14,7 @@ own evaluator would mis-score.)
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

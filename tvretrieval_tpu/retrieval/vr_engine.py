@@ -7,7 +7,7 @@ score the full corpus with the MoE-fused similarity, top-k videos.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ import os
 import time
 from typing import List, Optional
 
-import numpy as np
 
 logger = logging.getLogger(__name__)
 
