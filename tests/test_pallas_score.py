@@ -1,0 +1,49 @@
+"""The fused Pallas video-score kernel must match the engine's XLA einsum
+path (reference op: model_xml.py:436-453 over the whole corpus,
+inference.py:308-317)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvretrieval_tpu.ops.pallas_score import video_scores_pallas, video_scores_xla
+
+
+def _case(nq, nv, l, d, dtype, seed, masked_tail=True):
+    rng = np.random.default_rng(seed)
+    norm = lambda x: x / (np.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+    qv = norm(rng.normal(size=(nq, d)).astype(np.float32))
+    qs = norm(rng.normal(size=(nq, d)).astype(np.float32))
+    fv = norm(rng.normal(size=(nv, l, d)).astype(np.float32))
+    fs = norm(rng.normal(size=(nv, l, d)).astype(np.float32))
+    mask = np.ones((nv, l), np.float32)
+    if masked_tail:
+        lengths = rng.integers(1, l + 1, size=nv)
+        mask = (np.arange(l)[None] < lengths[:, None]).astype(np.float32)
+    cast = lambda x: jnp.asarray(x).astype(dtype)
+    return (cast(qv), cast(qs), cast(fv), cast(fs), jnp.asarray(mask))
+
+
+@pytest.mark.parametrize("nq,nv,l,d,chunk_v", [
+    (6, 37, 12, 16, 8),      # Nv not a multiple of chunk_v (edge block)
+    (4, 64, 20, 32, 16),
+    (3, 16, 7, 8, 16),       # single partial grid step
+])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_pallas_scores_match_xla(nq, nv, l, d, chunk_v, dtype):
+    qv, qs, fv, fs, mask = _case(nq, nv, l, d, dtype, seed=nq * 10 + nv)
+    ref = video_scores_xla(qv, qs, fv, fs, mask)
+    out = video_scores_pallas(qv, qs, fv, fs, mask,
+                              chunk_v=chunk_v, interpret=True)
+    assert out.shape == ref.shape == (nq, nv)
+    # same f32-accumulated dots, same mask algebra, order-exact max/avg
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_all_masked_video_scores_neg_inf():
+    qv, qs, fv, fs, mask = _case(3, 24, 10, 16, jnp.float32, seed=9,
+                                 masked_tail=False)
+    mask = mask.at[5].set(0.0)  # a fully padded video slot
+    ref = video_scores_xla(qv, qs, fv, fs, mask)
+    out = video_scores_pallas(qv, qs, fv, fs, mask, chunk_v=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert np.all(np.asarray(out)[:, 5] == -1e10)

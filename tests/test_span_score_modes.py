@@ -1,0 +1,118 @@
+"""simsweep span scoring must match the gathered path (exactness test).
+
+The engine's "simsweep" mode replaces the top-V feature-row gather
+(reference op: model_xml.py:463-480 restricted to inference.py:348's top
+videos) with a full-corpus similarity einsum + sim-row gather. Per the
+repo convention, the optimized path is pinned against the unoptimized one.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvretrieval_tpu.data.datasets import ExampleBuilder
+from tvretrieval_tpu.data.synthetic import make_synthetic_world
+from tvretrieval_tpu.models.xml import XML, XMLConfig
+from tvretrieval_tpu.retrieval.engine import (
+    RetrievalConfig, _score_query_batch, encode_corpus)
+
+
+@pytest.fixture(scope="module", params=["float32", "bfloat16"])
+def setup(request):
+    world = make_synthetic_world(n_videos=23, n_queries=10, vid_dim=16,
+                                 text_dim=12, max_clips=14, seed=7)
+    builder = ExampleBuilder(
+        query_source=world.query_source, video_source=world.video_source,
+        sub_source=world.sub_source, ctx_mode="video_sub_tef",
+        max_desc_l=16, max_ctx_l=14, clip_length=world.clip_length)
+    cfg = XMLConfig(ctx_mode="video_sub", visual_input_size=18,
+                    sub_input_size=14, query_input_size=16, hidden_size=16,
+                    n_heads=4, max_ctx_l=14, max_desc_l=16)
+    model = XML(cfg)
+    qb = builder.build_train_batch(world.annotations[:6])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "negatives": jax.random.PRNGKey(2)},
+        **{k: jnp.asarray(v) for k, v in qb.model_inputs().items()},
+        deterministic=True)
+    rcfg = RetrievalConfig(max_vcmr_video=9, max_before_nms=50,
+                           min_pred_l=1, max_pred_l=8, context_bsz=8,
+                           query_bsz=6, cache_dtype_str=request.param,
+                           span_score_mode="gather")
+    cache = encode_corpus(model, variables, builder, world.corpus, rcfg)
+    return world, builder, model, variables, rcfg, cache, qb
+
+
+def _run(model, variables, rcfg, cache, qb, n_videos, mode):
+    rcfg = dataclasses.replace(rcfg, span_score_mode=mode)
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % n_videos, jnp.int32)
+    out = _score_query_batch(model, variables, rcfg, qf, qm,
+                             cache.video_feat1, cache.video_feat2,
+                             cache.sub_feat1, cache.sub_feat2,
+                             cache.mask, gt, True)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def test_simsweep_matches_gather(setup):
+    world, builder, model, variables, rcfg, cache, qb = setup
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos, "gather")
+    out = _run(model, variables, rcfg, cache, qb, cache.n_videos, "simsweep")
+
+    assert set(out) == set(ref)
+    # video ranking is untouched by the span-score mode: exact
+    np.testing.assert_array_equal(out["topv_idx"], ref["topv_idx"])
+    np.testing.assert_array_equal(out["topv_scores"], ref["topv_scores"])
+    # span candidates: identical ranked (video, st, ed) and scores. The two
+    # modes contract the same D-length dots at f32 accumulation, so scores
+    # are expected bit-equal; allow 1e-6 for accumulation-order slack on
+    # backends that tile the corpus-wide einsum differently.
+    np.testing.assert_array_equal(out["vcmr_vid_local"], ref["vcmr_vid_local"])
+    np.testing.assert_array_equal(out["vcmr_st"], ref["vcmr_st"])
+    np.testing.assert_array_equal(out["vcmr_ed"], ref["vcmr_ed"])
+    np.testing.assert_allclose(out["vcmr_scores"], ref["vcmr_scores"],
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_array_equal(out["svmr_st"], ref["svmr_st"])
+    np.testing.assert_array_equal(out["svmr_ed"], ref["svmr_ed"])
+    np.testing.assert_allclose(out["svmr_scores"], ref["svmr_scores"],
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_simsweep_matches_single_device(setup):
+    """The sharded engine's simsweep mode must match the single-device
+    gather-mode engine (same contract as test_sharded_retrieval)."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    if rcfg.cache_dtype_str != "float32":
+        pytest.skip("one dtype is enough for the sharded mode check")
+    from tvretrieval_tpu.parallel.mesh import make_mesh
+    from tvretrieval_tpu.parallel.sharded_retrieval import (
+        pad_videos_to_multiple, score_query_batch_sharded)
+
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos, "gather")
+    mesh = make_mesh(8)
+    arrs, _ = pad_videos_to_multiple(
+        [cache.video_feat1, cache.video_feat2, cache.sub_feat1,
+         cache.sub_feat2, cache.mask], cache.n_videos, 8)
+    vf1, vf2, sf1, sf2, mask = [
+        jax.device_put(a, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data"))) for a in arrs]
+    scfg = dataclasses.replace(rcfg, span_score_mode="simsweep")
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    out = score_query_batch_sharded(model, variables, scfg, qf, qm,
+                                    vf1, vf2, sf1, sf2, mask, gt, True, mesh)
+    np.testing.assert_array_equal(np.asarray(out["topv_idx"]), ref["topv_idx"])
+    ref_vid_global = np.take_along_axis(ref["topv_idx"],
+                                        ref["vcmr_vid_local"], axis=1)
+    np.testing.assert_array_equal(np.asarray(out["vcmr_vid_global"]),
+                                  ref_vid_global)
+    np.testing.assert_array_equal(np.asarray(out["vcmr_st"]), ref["vcmr_st"])
+    np.testing.assert_array_equal(np.asarray(out["vcmr_ed"]), ref["vcmr_ed"])
+    np.testing.assert_allclose(np.asarray(out["vcmr_scores"]),
+                               ref["vcmr_scores"], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["svmr_st"]), ref["svmr_st"])
+    np.testing.assert_array_equal(np.asarray(out["svmr_ed"]), ref["svmr_ed"])

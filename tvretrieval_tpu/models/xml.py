@@ -351,6 +351,47 @@ class XML(nn.Module):
         st, ed = self._merged_span_conv(similarity)
         return mask_logits(st, mask_g), mask_logits(ed, mask_g)
 
+    def merged_st_ed_scores_simgather(self, video_query, video_feat2, sub_query,
+                                      sub_feat2, context_mask, gather_idx):
+        """Span logits for per-query selected videos via a FULL-CORPUS
+        similarity sweep + tiny sim-row gather.
+
+        Exact equivalent of ``merged_st_ed_scores_gathered`` on rows
+        ``gather_idx`` — the per-(query, video) similarity is one scalar per
+        clip, so gathering sim rows moves 2*D fewer bytes than gathering
+        feature rows (D=256: ~512x less). The corpus-wide einsum reads the
+        feat2 cache SEQUENTIALLY at HBM bandwidth instead of the row
+        gather's ~70 GB/s effective random access; conv/softmax run on the
+        gathered rows only (per-row ops, reference model_xml.py:463-497).
+
+        Bit-exactness: each stream's einsum contracts the same D=256 at f32
+        accumulation as the gathered einsum, the merge (v+s)/2 happens after
+        the gather on identical f32 values, and conv/mask are per-row — so
+        outputs are bit-equal to the gathered path (tested).
+
+        Args:
+            video_query/sub_query: (Nq, D) modular query vectors
+            video_feat2/sub_feat2: (Nv, L, D) full corpus cache
+            context_mask: (Nv, L)
+            gather_idx: (Nq, V) per-query video indices to keep
+        Returns:
+            st, ed logits (Nq, V, L), masked.
+        """
+        c = self.cfg
+        assert c.use_video and c.use_sub and c.span_predictor_type == "conv"
+        vq = self.video_query_linear(video_query)
+        sq = self.sub_query_linear(sub_query)
+        sim_v = jnp.einsum("qd,nld->qnl", vq.astype(video_feat2.dtype),
+                           video_feat2, preferred_element_type=jnp.float32)
+        sim_s = jnp.einsum("qd,nld->qnl", sq.astype(sub_feat2.dtype),
+                           sub_feat2, preferred_element_type=jnp.float32)
+        gv = jnp.take_along_axis(sim_v, gather_idx[:, :, None], axis=1)
+        gs = jnp.take_along_axis(sim_s, gather_idx[:, :, None], axis=1)
+        similarity = (gv + gs) / 2                       # (Nq, V, L) f32
+        mask_g = context_mask[gather_idx]                # (Nq, V, L)
+        st, ed = self._merged_span_conv(similarity)
+        return mask_logits(st, mask_g), mask_logits(ed, mask_g)
+
     def single_stream_st_ed_scores(self, query, feat2, mask, stream: str, cross: bool = False):
         """Per-stream span logits (reference _get_st_ed_prob :512-551)."""
         c = self.cfg

@@ -1,0 +1,103 @@
+"""Fused corpus video-scoring Pallas TPU kernel (q2c cosine stage).
+
+Reference op being replaced: model_xml.py:436-453 (``get_video_level_scores``:
+einsum("md,nld->mln") -> mask_logits -> max over clips) run against the
+ENTIRE corpus per query batch (inference.py:308-317). The XLA path
+materializes two (Nq, L, Nv) f32 similarity tensors in HBM (1.7 GB at
+Nq=200, Nv=21.8K) plus mask/max passes; this kernel streams the feat1
+caches through VMEM once and writes only the (Nv, Nq) score matrix
+(17 MB) — HBM traffic drops ~4x, to the 2x(Nv, L, D) cache read floor.
+
+Per grid step (CHUNK_V videos):
+  * two MXU dots per video: (Nq, D) x (L, D)^T -> (Nq, L) f32 per stream
+  * mask_logits + max over clips (VPU, in VMEM)
+  * average the two streams -> one (Nq,) row of the output
+
+Exactness: the same D-length f32-accumulated dots, the same elementwise
+mask algebra (ops.masking.mask_logits), and max/average are order-exact —
+outputs are expected bit-equal to the XLA einsum path (pinned by
+tests/test_pallas_score.py; tolerance documented there if a backend tiles
+the contraction differently). exp(alpha * q2c) is deliberately left to XLA
+so the kernel introduces no transcendental-implementation difference.
+
+Queries must be pre-normalized and pre-cast to the cache dtype by the
+caller (the engine normalizes once per batch; feat1 is pre-normalized at
+cache build — engine.encode_corpus).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tvretrieval_tpu.ops.masking import NEG_INF
+
+
+def _score_kernel(qv_ref, qs_ref, fv_ref, fs_ref, mask_ref, out_ref, *,
+                  chunk_v: int):
+    qv = qv_ref[...]                      # (Nq, D) cache dtype
+    qs = qs_ref[...]
+    dn = (((1,), (1,)), ((), ()))         # contract D: A @ B^T
+    for v in range(chunk_v):
+        fv = fv_ref[v]                    # (L, D)
+        fs = fs_ref[v]
+        m = mask_ref[v, :][None, :]       # (1, L) f32
+        sv = jax.lax.dot_general(qv, fv, dn,
+                                 preferred_element_type=jnp.float32)
+        ss = jax.lax.dot_general(qs, fs, dn,
+                                 preferred_element_type=jnp.float32)
+        sv = sv * m + (1.0 - m) * NEG_INF
+        ss = ss * m + (1.0 - m) * NEG_INF
+        out_ref[v, :] = (jnp.max(sv, axis=-1) + jnp.max(ss, axis=-1)) / 2
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_v", "interpret"))
+def video_scores_pallas(qv, qs, feat1_v, feat1_s, mask,
+                        chunk_v: int = 16, interpret: bool = False):
+    """Fused corpus q2c scores.
+
+    Args:
+        qv/qs: (Nq, D) L2-normalized modular query vectors, already cast to
+            the cache dtype (bit-parity with the engine einsum path).
+        feat1_v/feat1_s: (Nv, L, D) pre-normalized retrieval-stream caches.
+        mask: (Nv, L) float {0,1} clip validity.
+    Returns:
+        (Nq, Nv) f32 q2c scores (pre-exp; engine applies exp(alpha * q2c)).
+    """
+    nv, l, d = feat1_v.shape
+    nq = qv.shape[0]
+    grid = (pl.cdiv(nv, chunk_v),)
+    out = pl.pallas_call(
+        functools.partial(_score_kernel, chunk_v=chunk_v),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_v, l, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_v, l, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_v, l), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk_v, nq), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nv, nq), jnp.float32),
+        interpret=interpret,
+    )(qv, qs, feat1_v, feat1_s, mask)
+    return out.T                           # (Nq, Nv)
+
+
+def video_scores_xla(qv, qs, feat1_v, feat1_s, mask):
+    """The engine's einsum path (scores_prenormalized without the query
+    normalization, which the caller has already applied) — the exactness
+    reference for the kernel."""
+    def one(q, f):
+        s = jnp.einsum("md,nld->mln", q, f,
+                       preferred_element_type=jnp.float32)
+        s = s * mask.T[None] + (1.0 - mask.T[None]) * NEG_INF
+        return s.max(axis=1)
+    return (one(qv, feat1_v) + one(qs, feat1_s)) / 2

@@ -141,12 +141,20 @@ def score_query_batch_sharded(model: XML, variables, cfg,
             gather_idx = (jnp.concatenate([top_local_idx,
                                            jnp.clip(gt_idx - base, 0, nv_local - 1)[:, None]],
                                           axis=1) if do_svmr else top_local_idx)
-            vf2_g = vf2[gather_idx]                                  # (Nq, vl[+1], L, D)
-            sf2_g = sf2[gather_idx]
-            mask_g = cmask[gather_idx]
-            st_logits, ed_logits = model.apply(
-                vars_, vq, vf2_g, sq, sf2_g, mask_g,
-                method=XML.merged_st_ed_scores_gathered)
+            if getattr(cfg, "span_score_mode", "gather") == "simsweep":
+                # per-shard full-slice similarity sweep (sequential local
+                # HBM reads) + tiny sim-row gather — bit-equal to the
+                # feature-row gather (tests/test_span_score_modes.py)
+                st_logits, ed_logits = model.apply(
+                    vars_, vq, vf2, sq, sf2, cmask, gather_idx,
+                    method=XML.merged_st_ed_scores_simgather)
+            else:
+                vf2_g = vf2[gather_idx]                              # (Nq, vl[+1], L, D)
+                sf2_g = sf2[gather_idx]
+                mask_g = cmask[gather_idx]
+                st_logits, ed_logits = model.apply(
+                    vars_, vq, vf2_g, sq, sf2_g, mask_g,
+                    method=XML.merged_st_ed_scores_gathered)
             st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)
             ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
             st_top, ed_top = st_probs[:, :v_local], ed_probs[:, :v_local]

@@ -1,0 +1,105 @@
+"""Measure the retrieval engine's stage-mode variants at corpus scale.
+
+Compares, on one chip with the relay-safe fencing from bench.py:
+  * span_score_mode:  "gather" (top-V feature-row gather) vs "simsweep"
+                      (full-corpus similarity einsum + sim-row gather)
+  * video_score_mode: "einsum" (XLA) vs "pallas" (ops/pallas_score.py)
+
+Run:  python -m tvretrieval_tpu.profiling.engine_modes [--nq 200] [--iters 8]
+Prints one line per mode combination; exactness across combinations is
+asserted on the final span candidates of the first batch.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import itertools
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--nq", type=int, default=200)
+    p.add_argument("--n_videos", type=int, default=21818)
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--modes", type=str, nargs="+", default=None,
+                   help="subset like gather/einsum simsweep/pallas")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tvretrieval_tpu.models.xml import XML, XMLConfig
+    from tvretrieval_tpu.retrieval.engine import RetrievalConfig, _score_query_batch
+
+    L, H = 100, args.hidden
+    cfg = XMLConfig(ctx_mode="video_sub", visual_input_size=3074,
+                    sub_input_size=770, query_input_size=768, hidden_size=H,
+                    n_heads=4, max_ctx_l=L, max_desc_l=30)
+    model = XML(cfg)
+    base = RetrievalConfig(cache_dtype_str="bfloat16", query_bsz=args.nq)
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    qf = jax.random.normal(ks[0], (args.nq, 30, 768), jnp.float32)
+    qm = jnp.ones((args.nq, 30), jnp.float32)
+    variables = model.init(
+        {"params": ks[1], "dropout": ks[2], "negatives": ks[3]},
+        qf[:2], qm[:2],
+        jax.random.normal(ks[4], (2, L, 3074)), jnp.ones((2, L)),
+        jax.random.normal(ks[5], (2, L, 770)), jnp.ones((2, L)),
+        deterministic=True)
+
+    nv = args.n_videos
+    dt = base.cache_dtype
+    norm = lambda x: x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+    mk = lambda k: norm(jax.random.normal(k, (nv, L, H), jnp.float32)).astype(dt)
+    vf1, sf1 = mk(ks[6]), mk(ks[7])
+    vf2 = jax.random.normal(ks[6], (nv, L, H), jnp.float32).astype(dt)
+    sf2 = jax.random.normal(ks[7], (nv, L, H), jnp.float32).astype(dt)
+    mask = jnp.ones((nv, L), jnp.float32)
+    gt = jnp.zeros((args.nq,), jnp.int32)
+
+    combos = (args.modes if args.modes else
+              ["/".join(c) for c in itertools.product(
+                  ("gather", "simsweep"), ("einsum", "pallas"))])
+    ref_spans = None
+    for combo in combos:
+        span_mode, vid_mode = combo.split("/")
+        rcfg = dataclasses.replace(base, span_score_mode=span_mode,
+                                   video_score_mode=vid_mode)
+        run = lambda: _score_query_batch(model, variables, rcfg, qf, qm,
+                                         vf1, vf2, sf1, sf2, mask, gt, True)
+        t0 = time.time()
+        out = run()
+        np.asarray(out["vcmr_scores"][0, 0])  # fence (relay-safe)
+        compile_s = time.time() - t0
+        for _ in range(args.warmup):
+            out = run()
+        np.asarray(out["vcmr_scores"][0, 0])
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = run()
+        np.asarray(out["vcmr_scores"][0, 0])  # one fence after N dispatches
+        dt_s = (time.time() - t0) / args.iters
+        qps = args.nq / dt_s
+        spans = (np.asarray(out["vcmr_vid_local"]), np.asarray(out["vcmr_st"]),
+                 np.asarray(out["vcmr_ed"]), np.asarray(out["vcmr_scores"]))
+        if ref_spans is None:
+            ref_spans, ref_name, exact = spans, combo, "ref"
+        else:
+            exact = ("bit-exact vs " + ref_name
+                     if all(np.array_equal(a, b)
+                            for a, b in zip(spans[:3], ref_spans[:3]))
+                     and np.allclose(spans[3], ref_spans[3], rtol=1e-6)
+                     else "MISMATCH vs " + ref_name)
+        print(f"{combo:18s} {dt_s * 1e3:8.2f} ms/batch  {qps:8.1f} q/s  "
+              f"(compile {compile_s:.1f}s)  [{exact}]", flush=True)
+
+
+if __name__ == "__main__":
+    main()

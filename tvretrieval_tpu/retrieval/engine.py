@@ -51,6 +51,17 @@ class RetrievalConfig:
     context_bsz: int = 200           # eval_context_bsz (63)
     clip_length: float = 1.5
     cache_dtype_str: str = "float32"  # corpus cache dtype ("bfloat16" to halve HBM)
+    # span-score path on the fast (merged two-stream conv) config:
+    #   "simsweep": full-corpus merged-similarity einsum (sequential HBM
+    #               reads) + tiny sim-row gather (exactness-tested vs
+    #               "gather"; measured faster at corpus scale, BENCH_NOTES)
+    #   "gather":   gather top-V feature rows, then sim+conv (round-2 path)
+    span_score_mode: str = "gather"
+    # video-level q2c stage:
+    #   "einsum": XLA einsum -> mask -> max (materializes (Nq, L, Nv) f32)
+    #   "pallas": fused streaming kernel (ops/pallas_score.py), writes only
+    #             the (Nq, Nv) scores; exactness-tested vs "einsum"
+    video_score_mode: str = "einsum"
 
     @property
     def cache_dtype(self):
@@ -182,9 +193,18 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
                            preferred_element_type=jnp.float32)
             return mask_logits(s, ctx_mask.T[None]).max(axis=1)
 
-        v_scores = scores_prenormalized(vq, video_feat1)
-        s_scores = scores_prenormalized(sq, sub_feat1)
-        q2c = (v_scores + s_scores) / 2
+        if cfg.video_score_mode == "pallas":
+            from tvretrieval_tpu.ops.pallas_score import video_scores_pallas
+            normcast = lambda q, feat: (
+                q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+            ).astype(feat.dtype)
+            q2c = video_scores_pallas(
+                normcast(vq, video_feat1), normcast(sq, sub_feat1),
+                video_feat1, sub_feat1, ctx_mask)
+        else:
+            v_scores = scores_prenormalized(vq, video_feat1)
+            s_scores = scores_prenormalized(sq, sub_feat1)
+            q2c = (v_scores + s_scores) / 2
         q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
 
         if use_external_vr:
@@ -198,14 +218,21 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
             topv_scores, topv_idx = topk_stable_blocked(q2c_exp, V)  # (Nq, V)
         gather_idx = (jnp.concatenate([topv_idx, gt_meta_idx[:, None]], axis=1)
                       if do_svmr else topv_idx)                # (Nq, V[+1])
-        vf2_g = video_feat2[gather_idx]                        # (Nq, V+1, L, D)
-        sf2_g = sub_feat2[gather_idx]
-        mask_g = ctx_mask[gather_idx]                          # (Nq, V+1, L)
-        # gathered rows stay at cache dtype: merged_st_ed_scores_gathered
-        # consumes them directly with f32 accumulation (no f32 copy in HBM)
-        st_logits, ed_logits = model.apply(
-            variables, vq, vf2_g, sq, sf2_g, mask_g,
-            method=XML.merged_st_ed_scores_gathered)
+        if cfg.span_score_mode == "simsweep":
+            # full-corpus similarity sweep (sequential feat2 reads) + tiny
+            # sim-row gather — bit-equal to the feature-row gather below
+            st_logits, ed_logits = model.apply(
+                variables, vq, video_feat2, sq, sub_feat2, ctx_mask,
+                gather_idx, method=XML.merged_st_ed_scores_simgather)
+        else:
+            vf2_g = video_feat2[gather_idx]                    # (Nq, V+1, L, D)
+            sf2_g = sub_feat2[gather_idx]
+            mask_g = ctx_mask[gather_idx]                      # (Nq, V+1, L)
+            # gathered rows stay at cache dtype: the scorer consumes them
+            # directly with f32 accumulation (no f32 copy in HBM)
+            st_logits, ed_logits = model.apply(
+                variables, vq, vf2_g, sq, sf2_g, mask_g,
+                method=XML.merged_st_ed_scores_gathered)
         st_probs = jax.nn.softmax(st_logits.astype(f32), axis=-1)
         ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
         st_top, ed_top = st_probs[:, :V], ed_probs[:, :V]
