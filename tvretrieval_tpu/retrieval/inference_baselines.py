@@ -48,7 +48,7 @@ def start_inference(argv: Optional[List[str]] = None) -> dict:
     from tvretrieval_tpu.training.checkpoint import load_checkpoint
     from tvretrieval_tpu.utils.io import load_json, save_json
 
-    logging.basicConfig(level=logging.INFO,
+    logging.basicConfig(level=logging.INFO, force=True,
                         format="%(asctime)s:%(levelname)s:%(name)s - %(message)s")
     cli = build_arg_parser().parse_args(argv)
     saved = load_json(os.path.join(cli.model_dir, "opt.json"))

@@ -56,7 +56,8 @@ def start_inference(argv: Optional[List[str]] = None) -> dict:
     from tvretrieval_tpu.utils.io import load_json
 
     logging.basicConfig(
-        format="%(asctime)s:%(levelname)s:%(name)s - %(message)s", level=logging.INFO)
+        format="%(asctime)s:%(levelname)s:%(name)s - %(message)s",
+        level=logging.INFO, force=True)
     cli = build_arg_parser().parse_args(argv)
 
     opt_path = os.path.join(cli.model_dir, "opt.json")

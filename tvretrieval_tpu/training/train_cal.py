@@ -119,7 +119,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     from tvretrieval_tpu.training.generic import GenericTrainer
     from tvretrieval_tpu.utils.io import save_json
 
-    logging.basicConfig(level=logging.INFO,
+    logging.basicConfig(level=logging.INFO, force=True,
                         format="%(asctime)s:%(levelname)s:%(name)s - %(message)s")
     args = build_arg_parser().parse_args(argv)
     exp_id = args.exp_id or time.strftime("%Y%m%d_%H%M%S")

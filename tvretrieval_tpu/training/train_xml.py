@@ -271,8 +271,12 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     from tvretrieval_tpu.training.xml_trainer import TrainSettings, XMLTrainer
     from tvretrieval_tpu.utils.io import save_json
 
+    # force=True: the TPU plugin's import hooks configure the root logger
+    # first, which would make a plain basicConfig a no-op and swallow INFO
+    # progress lines (train=/epoch=) behind a WARNING threshold
     logging.basicConfig(
-        format="%(asctime)s:%(levelname)s:%(name)s - %(message)s", level=logging.INFO)
+        format="%(asctime)s:%(levelname)s:%(name)s - %(message)s",
+        level=logging.INFO, force=True)
     args = build_arg_parser().parse_args(argv)
     if args.debug:
         args.n_epoch = min(args.n_epoch, 1)
