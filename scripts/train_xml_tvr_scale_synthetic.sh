@@ -12,5 +12,7 @@ python -m tvretrieval_tpu.training.train_xml --synthetic \
   --synthetic_videos 21818 --synthetic_queries 109000 \
   --synthetic_vid_dim 3072 --synthetic_text_dim 768 --synthetic_query_dim 768 \
   --synthetic_max_clips 100 --synthetic_train_frac 0.9 \
+  --synthetic_cache /tmp/tvr_scale_world.pkl \
   --n_epoch 100 --bsz 128 --prebuild_examples --prebuild_dtype float16 \
-  --eval_query_bsz 100 --eval_context_bsz 200 --eval_untrained "${@:2}"
+  --eval_query_bsz 100 --eval_context_bsz 200 --eval_cache_dtype bfloat16 \
+  --eval_untrained "${@:2}"

@@ -49,6 +49,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_signal", type=float, default=2.0)
     p.add_argument("--synthetic_train_frac", type=float, default=0.75,
                    help="train/eval split of the synthetic queries")
+    p.add_argument("--synthetic_cache", type=str, default=None,
+                   help="pickle path caching the generated world across "
+                        "runs (TVR-scale generation is ~40 min on 1 core)")
     p.add_argument("--train_path", type=str, default=None)
     p.add_argument("--eval_path", type=str, default=None)
     p.add_argument("--desc_bert_path", type=str, default=None)
@@ -109,6 +112,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default=["VCMR", "SVMR", "VR"])
     p.add_argument("--eval_query_bsz", type=int, default=50)
     p.add_argument("--eval_context_bsz", type=int, default=200)
+    p.add_argument("--eval_cache_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="corpus-cache dtype for retrieval eval; bfloat16 "
+                        "halves HBM (required at full 21.8K-video scale: an "
+                        "f32 cache + scoring intermediates exceed one v5e's "
+                        "16GB)")
     p.add_argument("--q2c_alpha", type=float, default=20.0)
     p.add_argument("--min_pred_l", type=int, default=2)
     p.add_argument("--max_pred_l", type=int, default=16)
@@ -136,12 +145,26 @@ def setup_world(args):
 
     if args.synthetic:
         from tvretrieval_tpu.data.synthetic import make_synthetic_world
-        world = make_synthetic_world(
-            n_videos=args.synthetic_videos, n_queries=args.synthetic_queries,
-            vid_dim=args.synthetic_vid_dim, text_dim=args.synthetic_text_dim,
-            query_dim=args.synthetic_query_dim,
-            max_clips=args.synthetic_max_clips, signal=args.synthetic_signal,
-            clip_length=args.clip_length, seed=args.seed)
+        cache_path = getattr(args, "synthetic_cache", None)
+        if cache_path and os.path.exists(cache_path):
+            # world generation at TVR scale is ~40 min of 1-core numpy;
+            # restarts (e.g. after tuning eval memory knobs) reload in ~1 min
+            import pickle
+            logger.info("loading cached synthetic world from %s", cache_path)
+            with open(cache_path, "rb") as f:
+                world = pickle.load(f)
+        else:
+            world = make_synthetic_world(
+                n_videos=args.synthetic_videos, n_queries=args.synthetic_queries,
+                vid_dim=args.synthetic_vid_dim, text_dim=args.synthetic_text_dim,
+                query_dim=args.synthetic_query_dim,
+                max_clips=args.synthetic_max_clips, signal=args.synthetic_signal,
+                clip_length=args.clip_length, seed=args.seed)
+            if cache_path:
+                import pickle
+                with open(cache_path, "wb") as f:
+                    pickle.dump(world, f, protocol=5)
+                logger.info("cached synthetic world to %s", cache_path)
         n_train = int(len(world.annotations) * args.synthetic_train_frac)
         train_rows = world.annotations[:n_train]
         eval_rows = world.annotations[n_train:]
@@ -188,7 +211,8 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
         max_pred_l=args.max_pred_l, max_before_nms=args.max_before_nms,
         max_vcmr_video=min(args.max_vcmr_video, len(corpus)),
         query_bsz=args.eval_query_bsz,
-        context_bsz=args.eval_context_bsz, clip_length=args.clip_length)
+        context_bsz=args.eval_context_bsz, clip_length=args.clip_length,
+        cache_dtype_str=getattr(args, "eval_cache_dtype", "float32"))
     # test_public rows carry no GT (no ts/vid_name): generate the submission
     # only, drop SVMR, skip metrics (reference inference.py:494-503)
     has_gt = bool(eval_rows) and "ts" in eval_rows[0]
@@ -248,7 +272,8 @@ def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
         max_pred_l=args.max_pred_l, max_before_nms=args.max_before_nms,
         max_vcmr_video=min(args.max_vcmr_video, len(corpus)),
         query_bsz=args.eval_query_bsz,
-        context_bsz=args.eval_context_bsz, clip_length=args.clip_length)
+        context_bsz=args.eval_context_bsz, clip_length=args.clip_length,
+        cache_dtype_str=getattr(args, "eval_cache_dtype", "float32"))
     cache = encode_corpus(model, variables, builder, corpus, rcfg,
                           batch_cache=ctx_batch_cache)
     arrays = retrieve(model, variables, builder, cache, eval_rows, corpus,
