@@ -27,7 +27,8 @@ BASELINE_REF_QPS = 170.0
 N_VIDEOS = 21818
 N_CLIPS = 100
 HIDDEN = 256
-QUERY_BSZ = 200   # saturation point (100 -> 3625, 200 -> 3766 q/s, round 2)
+QUERY_BSZ = 800   # cat-sweep saturation (400 -> ~7.3K, 800 -> ~7.8K q/s;
+#                   1600 would overflow HBM with the (Nq, Nv, L) similarity)
 N_WARMUP = 2
 N_ITERS = 10
 
@@ -55,7 +56,17 @@ def main() -> None:
         query_input_size=768, hidden_size=HIDDEN, n_heads=4,
         max_ctx_l=N_CLIPS, max_desc_l=30)
     model = XML(cfg)
-    rcfg = RetrievalConfig(cache_dtype_str="bfloat16")
+    # fastest measured engine configuration (BENCH_NOTES round-2 table):
+    # - simsweep_cat: one K=2D corpus-wide similarity einsum over the
+    #   concatenated feat2 cache + tiny sim-row gathers (no feature-row
+    #   gather); video ranking bit-equal to the reference-faithful gather
+    #   path, span scores equal up to f32 accumulation order
+    #   (tests/test_span_score_modes.py)
+    # - pallas video scores: ops/pallas_score.py streaming kernel (bit-exact
+    #   vs the einsum path on-chip at this scale)
+    rcfg = RetrievalConfig(cache_dtype_str="bfloat16",
+                           span_score_mode="simsweep_cat",
+                           video_score_mode="pallas")
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
@@ -79,8 +90,12 @@ def main() -> None:
         x = jax.random.normal(k, shape, dtype=jnp.float32)
         return (x / jnp.linalg.norm(x, axis=-1, keepdims=True)).astype(dt)
 
-    cache = [normed(ks[3]), jax.random.normal(ks[4], shape, dtype=dt),
-             normed(ks[5]), jax.random.normal(ks[6], shape, dtype=dt)]
+    # feat2 streams live concatenated in the cache (simsweep_cat layout;
+    # same total HBM as two separate streams)
+    feat2_cat = jnp.concatenate(
+        [jax.random.normal(ks[4], shape, dtype=dt),
+         jax.random.normal(ks[6], shape, dtype=dt)], axis=-1)
+    cache = [normed(ks[3]), None, normed(ks[5]), None]
     mask = jnp.ones((N_VIDEOS, N_CLIPS), jnp.float32)
 
     q_feat = jax.random.normal(ks[7], (QUERY_BSZ, 30, 768), jnp.float32)
@@ -90,7 +105,8 @@ def main() -> None:
     def run():
         return _score_query_batch(
             model, variables, rcfg, q_feat, q_mask,
-            cache[0], cache[1], cache[2], cache[3], mask, gt_idx, True)
+            cache[0], cache[1], cache[2], cache[3], mask, gt_idx, True,
+            feat2_cat=feat2_cat)
 
     def fence(out):
         # real device->host transfer: under the remote-execution relay,

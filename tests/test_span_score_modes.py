@@ -50,10 +50,14 @@ def _run(model, variables, rcfg, cache, qb, n_videos, mode):
     qf = jnp.asarray(qb.query_feat)
     qm = jnp.asarray(qb.query_mask)
     gt = jnp.asarray(np.arange(qf.shape[0]) % n_videos, jnp.int32)
+    kw = {}
+    if mode == "simsweep_cat":
+        kw["feat2_cat"] = jnp.concatenate(
+            [cache.video_feat2, cache.sub_feat2], axis=-1)
     out = _score_query_batch(model, variables, rcfg, qf, qm,
                              cache.video_feat1, cache.video_feat2,
                              cache.sub_feat1, cache.sub_feat2,
-                             cache.mask, gt, True)
+                             cache.mask, gt, True, **kw)
     return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -79,6 +83,26 @@ def test_simsweep_matches_gather(setup):
     np.testing.assert_array_equal(out["svmr_ed"], ref["svmr_ed"])
     np.testing.assert_allclose(out["svmr_scores"], ref["svmr_scores"],
                                rtol=1e-6, atol=1e-9)
+
+
+def test_simsweep_cat_matches_gather(setup):
+    """The concatenated-cache variant folds the stream merge into one K=2D
+    contraction: values match up to f32 accumulation order (K=2D single
+    sum vs two K=D sums), so scores are allclose and the ranked candidate
+    spans must agree wherever scores are not fp-level ties."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos, "gather")
+    out = _run(model, variables, rcfg, cache, qb, cache.n_videos,
+               "simsweep_cat")
+    np.testing.assert_array_equal(out["topv_idx"], ref["topv_idx"])
+    np.testing.assert_allclose(out["vcmr_scores"], ref["vcmr_scores"],
+                               rtol=2e-5, atol=1e-8)
+    # spans should agree except possibly at fp-tie reorderings; on this
+    # fixture the margin between ranked scores exceeds the fp slack
+    same = (out["vcmr_st"] == ref["vcmr_st"]) & (out["vcmr_ed"] == ref["vcmr_ed"])
+    assert same.mean() > 0.99
+    np.testing.assert_allclose(out["svmr_scores"], ref["svmr_scores"],
+                               rtol=2e-5, atol=1e-8)
 
 
 def test_sharded_simsweep_matches_single_device(setup):

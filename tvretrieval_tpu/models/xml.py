@@ -392,6 +392,32 @@ class XML(nn.Module):
         st, ed = self._merged_span_conv(similarity)
         return mask_logits(st, mask_g), mask_logits(ed, mask_g)
 
+    def merged_st_ed_scores_simgather_cat(self, video_query, sub_query,
+                                          feat2_cat, context_mask, gather_idx):
+        """``merged_st_ed_scores_simgather`` with the two feat2 streams
+        CONCATENATED in the cache (feat2_cat = [video_feat2 ; sub_feat2] on
+        the feature axis): one K=2D einsum replaces two K=D einsums + merge,
+        halving the (Nq, Nv, L) f32 similarity traffic.
+
+        The stream merge (sim_v + sim_s) / 2 is folded into the query side:
+        halving the query vectors BEFORE the cache-dtype cast is exact (a
+        power-of-two scale only shifts the exponent), so the contraction
+        accumulates 0.5*vq.vf2 + 0.5*sq.sf2 directly. Values can differ
+        from the two-einsum path only by f32 accumulation order (K=2D in
+        one sum vs two K=D sums added).
+        """
+        c = self.cfg
+        assert c.use_video and c.use_sub and c.span_predictor_type == "conv"
+        vq = self.video_query_linear(video_query)
+        sq = self.sub_query_linear(sub_query)
+        qcat = jnp.concatenate([vq, sq], axis=-1) * 0.5
+        sim = jnp.einsum("qd,nld->qnl", qcat.astype(feat2_cat.dtype),
+                         feat2_cat, preferred_element_type=jnp.float32)
+        similarity = jnp.take_along_axis(sim, gather_idx[:, :, None], axis=1)
+        mask_g = context_mask[gather_idx]                # (Nq, V, L)
+        st, ed = self._merged_span_conv(similarity)
+        return mask_logits(st, mask_g), mask_logits(ed, mask_g)
+
     def single_stream_st_ed_scores(self, query, feat2, mask, stream: str, cross: bool = False):
         """Per-stream span logits (reference _get_st_ed_prob :512-551)."""
         c = self.cfg

@@ -253,7 +253,9 @@ def banded_topk_spans_grouped(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
     # the final stable top_k's position tie-break equal the canonical-index
     # tie-break (a 2-key lax.sort is ~4x slower than top_k on TPU)
     k_groups = min(top_n, v * L)
-    _, gidx = jax.lax.top_k(gmax.reshape(nq, v * L), k_groups)  # (Nq, G)
+    # topk_stable_blocked is bit-equal to lax.top_k (same stable tie order)
+    # and prunes most of the V*L group row before sorting
+    _, gidx = topk_stable_blocked(gmax.reshape(nq, v * L), k_groups)  # (Nq, G)
     gidx = jax.lax.sort(gidx, dimension=1)
     g_vid = gidx // L
     g_st = gidx % L

@@ -49,10 +49,10 @@ def main() -> None:
     qm = jnp.ones((args.nq, 30), jnp.float32)
     variables = model.init(
         {"params": ks[1], "dropout": ks[2], "negatives": ks[3]},
-        qf[:2], qm[:2],
-        jax.random.normal(ks[4], (2, L, 3074)), jnp.ones((2, L)),
-        jax.random.normal(ks[5], (2, L, 770)), jnp.ones((2, L)),
-        deterministic=True)
+        query_feat=qf[:2], query_mask=qm[:2],
+        video_feat=jnp.zeros((2, L, 3074)), video_mask=jnp.ones((2, L)),
+        sub_feat=jnp.zeros((2, L, 770)), sub_mask=jnp.ones((2, L)),
+        st_ed_indices=jnp.zeros((2, 2), jnp.int32), deterministic=True)
 
     nv = args.n_videos
     dt = base.cache_dtype
@@ -67,13 +67,17 @@ def main() -> None:
     combos = (args.modes if args.modes else
               ["/".join(c) for c in itertools.product(
                   ("gather", "simsweep"), ("einsum", "pallas"))])
+    feat2_cat = (jnp.concatenate([vf2, sf2], axis=-1)
+                 if any(c.startswith("simsweep_cat") for c in combos) else None)
     ref_spans = None
     for combo in combos:
         span_mode, vid_mode = combo.split("/")
         rcfg = dataclasses.replace(base, span_score_mode=span_mode,
                                    video_score_mode=vid_mode)
+        kw = ({"feat2_cat": feat2_cat} if span_mode == "simsweep_cat" else {})
         run = lambda: _score_query_batch(model, variables, rcfg, qf, qm,
-                                         vf1, vf2, sf1, sf2, mask, gt, True)
+                                         vf1, vf2, sf1, sf2, mask, gt, True,
+                                         **kw)
         t0 = time.time()
         out = run()
         np.asarray(out["vcmr_scores"][0, 0])  # fence (relay-safe)

@@ -55,6 +55,9 @@ class RetrievalConfig:
     #   "simsweep": full-corpus merged-similarity einsum (sequential HBM
     #               reads) + tiny sim-row gather (exactness-tested vs
     #               "gather"; measured faster at corpus scale, BENCH_NOTES)
+    #   "simsweep_cat": one K=2D einsum over a concatenated feat2 cache
+    #               (encode_corpus stores feat2_cat instead of the two
+    #               streams); halves the similarity write traffic
     #   "gather":   gather top-V feature rows, then sim+conv (round-2 path)
     span_score_mode: str = "gather"
     # video-level q2c stage:
@@ -80,6 +83,9 @@ class CorpusCache:
     mask: jnp.ndarray                    # (Nv, L)
     n_videos: int                        # true count (<= padded Nv)
     metas: List[dict]                    # per-video {vid_name, duration}
+    feat2_cat: Optional[jnp.ndarray] = None  # (Nv, L, 2D) [vf2 ; sf2] for
+    #                                          span_score_mode="simsweep_cat"
+    #                                          (replaces the two streams)
 
 
 def encode_corpus(model: XML, variables, builder: ExampleBuilder,
@@ -145,12 +151,21 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
         chunks["mask"].append(jnp.asarray(batch.video_mask)[:keep])
 
     cat = lambda key: jnp.concatenate(chunks[key], axis=0) if chunks[key] else None
+    vf2_all, sf2_all = cat("vf2"), cat("sf2")
+    feat2_cat = None
+    if (cfg.span_score_mode == "simsweep_cat" and vf2_all is not None
+            and sf2_all is not None):
+        # one concatenated localization cache (same total HBM as the two
+        # streams, which are dropped — only the cat path consumes feat2)
+        feat2_cat = jnp.concatenate([vf2_all, sf2_all], axis=-1)
+        vf2_all = sf2_all = None
     return CorpusCache(
-        video_feat1=cat("vf1"), video_feat2=cat("vf2"),
-        sub_feat1=cat("sf1"), sub_feat2=cat("sf2"),
+        video_feat1=cat("vf1"), video_feat2=vf2_all,
+        sub_feat1=cat("sf1"), sub_feat2=sf2_all,
         mask=cat("mask"), n_videos=n,
         metas=[{"vid_name": v, "duration": d}
                for v, d in zip(corpus.vid_names, corpus.durations)],
+        feat2_cat=feat2_cat,
     )
 
 
@@ -161,7 +176,8 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
                        video_feat1, video_feat2, sub_feat1, sub_feat2,
                        ctx_mask, gt_meta_idx, do_svmr: bool,
                        use_external_vr: bool = False,
-                       external_idx=None, external_scores=None):
+                       external_idx=None, external_scores=None,
+                       feat2_cat=None):
     """One fused device program scoring a query batch against the corpus.
 
     Fast path (merged two-stream ConvSE, the flagship config): video-level
@@ -218,7 +234,11 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
             topv_scores, topv_idx = topk_stable_blocked(q2c_exp, V)  # (Nq, V)
         gather_idx = (jnp.concatenate([topv_idx, gt_meta_idx[:, None]], axis=1)
                       if do_svmr else topv_idx)                # (Nq, V[+1])
-        if cfg.span_score_mode == "simsweep":
+        if cfg.span_score_mode == "simsweep_cat":
+            st_logits, ed_logits = model.apply(
+                variables, vq, sq, feat2_cat, ctx_mask, gather_idx,
+                method=XML.merged_st_ed_scores_simgather_cat)
+        elif cfg.span_score_mode == "simsweep":
             # full-corpus similarity sweep (sequential feat2 reads) + tiny
             # sim-row gather — bit-equal to the feature-row gather below
             st_logits, ed_logits = model.apply(
@@ -344,6 +364,8 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
             ext_args = dict(use_external_vr=True,
                             external_idx=jnp.asarray(ext_idx),
                             external_scores=jnp.asarray(ext_scores))
+        if cache.feat2_cat is not None:
+            ext_args["feat2_cat"] = cache.feat2_cat
         out = _score_query_batch(
             model, variables, cfg,
             jnp.asarray(qb.query_feat), jnp.asarray(qb.query_mask),
