@@ -74,6 +74,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["float32", "float16"],
                    help="prebuilt-cache feature dtype (float16 halves RAM "
                         "and host copy time)")
+    p.add_argument("--prebuild_cache_dir", type=str, default=None,
+                   help="directory pickling the prebuilt example arrays and "
+                        "the eval context-batch cache across runs (restarts "
+                        "skip ~1.5h of 1-core cache building at TVR scale)")
     # model
     p.add_argument("--hidden_size", type=int, default=256)
     p.add_argument("--n_heads", type=int, default=4)
@@ -359,6 +363,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
         hard_pool_size=args.hard_pool_size, seed=args.seed,
         prebuild_examples=args.prebuild_examples,
         prebuild_dtype=args.prebuild_dtype,
+        prebuild_cache_dir=args.prebuild_cache_dir or "",
         debug_max_steps=4 if args.debug else -1,
         eval_tasks=tuple(args.eval_tasks_at_training), stop_task=args.stop_task)
 
@@ -393,10 +398,26 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     ckpt_dir = os.path.join(results_dir, "ckpt")
 
     ctx_batch_cache: list = []   # host-built context batches, reused per epoch
+    _ctx_cache_path = (os.path.join(args.prebuild_cache_dir, "eval_ctx_batches.pkl")
+                       if args.prebuild_cache_dir else None)
+    if _ctx_cache_path and os.path.exists(_ctx_cache_path):
+        import pickle
+        logger.info("loading eval context-batch cache from %s", _ctx_cache_path)
+        with open(_ctx_cache_path, "rb") as f:
+            ctx_batch_cache = pickle.load(f)
+
+    def _maybe_save_ctx_cache():
+        if _ctx_cache_path and ctx_batch_cache and not os.path.exists(_ctx_cache_path):
+            import pickle
+            os.makedirs(args.prebuild_cache_dir, exist_ok=True)
+            with open(_ctx_cache_path, "wb") as f:
+                pickle.dump(ctx_batch_cache, f, protocol=5)
+            logger.info("cached eval context batches to %s", _ctx_cache_path)
     if args.eval_untrained and eval_rows:
         metrics, _ = evaluate_retrieval_fast(
             trainer.model, trainer.variables(), builder, corpus, eval_rows,
             args, tasks=settings.eval_tasks, ctx_batch_cache=ctx_batch_cache)
+        _maybe_save_ctx_cache()
         eval_log.write(f"[epoch -1] {json.dumps(metrics)}\n")
         eval_log.flush()
         logger.info("untrained eval: %s", json.dumps(
@@ -437,6 +458,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
                 trainer.model, trainer.variables(), builder, corpus,
                 eval_rows, args, tasks=settings.eval_tasks,
                 ctx_batch_cache=ctx_batch_cache)
+            _maybe_save_ctx_cache()  # first epoch populates it when --eval_untrained is off
         eval_log.write(f"[epoch {epoch}] {json.dumps(metrics)}\n")
         eval_log.flush()
         if eval_losses:

@@ -14,6 +14,7 @@ DevicePrefetcher, and the whole optimizer update runs on device.
 """
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass
 from typing import Dict, List, Sequence
@@ -29,6 +30,8 @@ from tvretrieval_tpu.models.xml import XML, XMLConfig
 from tvretrieval_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_sharding
 from tvretrieval_tpu.training.optimization import bert_adam, no_decay_mask
 from tvretrieval_tpu.utils.io import AverageMeter
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -52,6 +55,9 @@ class TrainSettings:
                                      # building becomes pure numpy gathers
                                      # (static feature stores only)
     prebuild_dtype: str = "float32"  # "float16" halves cache RAM + gather time
+    prebuild_cache_dir: str = ""     # pickle the prebuilt-example arrays here
+    #                                  (few large buffers -> disk-speed IO;
+    #                                  restarts skip ~45 min of 1-core builds)
     seed: int = 2018
     eval_tasks: Sequence[str] = ("VCMR", "SVMR", "VR")
     stop_task: str = "VCMR"
@@ -78,10 +84,8 @@ class XMLTrainer:
         self._eval_prebuilt = None
         self._eval_prebuilt_key = None
         if settings.prebuild_examples:
-            from tvretrieval_tpu.data.datasets import PrebuiltExamples
-            self.prebuilt = PrebuiltExamples(
-                builder, train_rows,
-                dtype=np.dtype(settings.prebuild_dtype))
+            self.prebuilt = self._load_or_build_prebuilt(
+                "train_prebuilt.pkl", train_rows, eval_labels=False)
 
         rng = jax.random.PRNGKey(settings.seed)
         init_batch = self._build((train_rows * settings.bsz)[: settings.bsz])
@@ -102,6 +106,33 @@ class XMLTrainer:
         self.global_step = 0
 
     # ------------------------------------------------------------------ build
+    def _load_or_build_prebuilt(self, name: str, rows, eval_labels: bool):
+        """PrebuiltExamples, pickle-cached under settings.prebuild_cache_dir.
+
+        The cache is a handful of large numpy buffers, so pickling runs at
+        disk speed; building pays 1-core python per row (~45 min at TVR
+        scale). The cache key is the caller-chosen file name — callers must
+        use distinct names for distinct row sets."""
+        import os
+        import pickle
+
+        from tvretrieval_tpu.data.datasets import PrebuiltExamples
+
+        path = (os.path.join(self.s.prebuild_cache_dir, name)
+                if self.s.prebuild_cache_dir else None)
+        if path and os.path.exists(path):
+            logger.info("loading prebuilt examples from %s", path)
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        pre = PrebuiltExamples(self.builder, rows, eval_labels=eval_labels,
+                               dtype=np.dtype(self.s.prebuild_dtype))
+        if path:
+            os.makedirs(self.s.prebuild_cache_dir, exist_ok=True)
+            with open(path, "wb") as f:
+                pickle.dump(pre, f, protocol=5)
+            logger.info("cached prebuilt examples to %s", path)
+        return pre
+
     def _build(self, rows):
         b = None
         for pre in (self.prebuilt, self._eval_prebuilt):
@@ -219,9 +250,8 @@ class XMLTrainer:
             return {}
         if self.prebuilt is not None and self._eval_prebuilt_key != id(eval_rows):
             # eval rows recur every epoch: cache them like the train rows
-            from tvretrieval_tpu.data.datasets import PrebuiltExamples
-            self._eval_prebuilt = PrebuiltExamples(
-                self.builder, eval_rows, dtype=np.dtype(self.s.prebuild_dtype))
+            self._eval_prebuilt = self._load_or_build_prebuilt(
+                "eval_prebuilt.pkl", eval_rows, eval_labels=False)
             self._eval_prebuilt_key = id(eval_rows)
         for rows in it:
             batch = self._put(self._build(rows))
