@@ -116,6 +116,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default=["VCMR", "SVMR", "VR"])
     p.add_argument("--eval_query_bsz", type=int, default=50)
     p.add_argument("--eval_context_bsz", type=int, default=200)
+    p.add_argument("--span_score_mode", type=str, default="gather",
+                   choices=["gather", "simsweep", "simsweep_cat"],
+                   help="retrieval-eval span scoring path (engine.py; "
+                        "simsweep_cat is fastest, gather is the bit-exact "
+                        "reference-faithful default)")
+    p.add_argument("--video_score_mode", type=str, default="einsum",
+                   choices=["einsum", "pallas"],
+                   help="retrieval-eval video-level scoring path")
     p.add_argument("--eval_cache_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="corpus-cache dtype for retrieval eval; bfloat16 "
@@ -216,7 +224,9 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
         max_vcmr_video=min(args.max_vcmr_video, len(corpus)),
         query_bsz=args.eval_query_bsz,
         context_bsz=args.eval_context_bsz, clip_length=args.clip_length,
-        cache_dtype_str=getattr(args, "eval_cache_dtype", "float32"))
+        cache_dtype_str=getattr(args, "eval_cache_dtype", "float32"),
+        span_score_mode=getattr(args, "span_score_mode", "gather"),
+        video_score_mode=getattr(args, "video_score_mode", "einsum"))
     # test_public rows carry no GT (no ts/vid_name): generate the submission
     # only, drop SVMR, skip metrics (reference inference.py:494-503)
     has_gt = bool(eval_rows) and "ts" in eval_rows[0]
@@ -277,7 +287,9 @@ def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
         max_vcmr_video=min(args.max_vcmr_video, len(corpus)),
         query_bsz=args.eval_query_bsz,
         context_bsz=args.eval_context_bsz, clip_length=args.clip_length,
-        cache_dtype_str=getattr(args, "eval_cache_dtype", "float32"))
+        cache_dtype_str=getattr(args, "eval_cache_dtype", "float32"),
+        span_score_mode=getattr(args, "span_score_mode", "gather"),
+        video_score_mode=getattr(args, "video_score_mode", "einsum"))
     cache = encode_corpus(model, variables, builder, corpus, rcfg,
                           batch_cache=ctx_batch_cache)
     arrays = retrieve(model, variables, builder, cache, eval_rows, corpus,
