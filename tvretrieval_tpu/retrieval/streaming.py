@@ -14,6 +14,12 @@ engine keeps the encoded corpus in HOST memory and streams it:
 
 Everything numerically matches the in-HBM engine (tested); only the
 residency changes.
+
+Deployment note: under a remote-relay PJRT client that journals
+host->device transfers for replay (see CLAUDE.md), a long streaming
+session must run with journal compaction (AXON_JOURNAL_COMPACT=1 in this
+image) — phase 1 streams the whole corpus through device_put every query
+batch, and an uncompacted journal would pin each block in host RAM.
 """
 from __future__ import annotations
 
