@@ -173,9 +173,8 @@ def setup_world(args):
                 max_clips=args.synthetic_max_clips, signal=args.synthetic_signal,
                 clip_length=args.clip_length, seed=args.seed)
             if cache_path:
-                import pickle
-                with open(cache_path, "wb") as f:
-                    pickle.dump(world, f, protocol=5)
+                from tvretrieval_tpu.utils.io import dump_pickle_throttled
+                dump_pickle_throttled(world, cache_path)
                 logger.info("cached synthetic world to %s", cache_path)
         n_train = int(len(world.annotations) * args.synthetic_train_frac)
         train_rows = world.annotations[:n_train]
@@ -420,10 +419,9 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
 
     def _maybe_save_ctx_cache():
         if _ctx_cache_path and ctx_batch_cache and not os.path.exists(_ctx_cache_path):
-            import pickle
+            from tvretrieval_tpu.utils.io import dump_pickle_throttled
             os.makedirs(args.prebuild_cache_dir, exist_ok=True)
-            with open(_ctx_cache_path, "wb") as f:
-                pickle.dump(ctx_batch_cache, f, protocol=5)
+            dump_pickle_throttled(ctx_batch_cache, _ctx_cache_path)
             logger.info("cached eval context batches to %s", _ctx_cache_path)
     if args.eval_untrained and eval_rows:
         metrics, _ = evaluate_retrieval_fast(

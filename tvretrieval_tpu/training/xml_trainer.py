@@ -127,9 +127,9 @@ class XMLTrainer:
         pre = PrebuiltExamples(self.builder, rows, eval_labels=eval_labels,
                                dtype=np.dtype(self.s.prebuild_dtype))
         if path:
+            from tvretrieval_tpu.utils.io import dump_pickle_throttled
             os.makedirs(self.s.prebuild_cache_dir, exist_ok=True)
-            with open(path, "wb") as f:
-                pickle.dump(pre, f, protocol=5)
+            dump_pickle_throttled(pre, path)
             logger.info("cached prebuilt examples to %s", path)
         return pre
 

@@ -18,6 +18,44 @@ def load_json(path: str) -> Any:
         return json.load(f)
 
 
+class _FsyncThrottledFile:
+    """File wrapper fsyncing every ``chunk`` written bytes.
+
+    Dumping tens of GB of large numpy buffers with pickle outruns slow
+    disks by GB/s; the kernel accumulates dirty pages up to vm.dirty_ratio
+    (~20% of RAM) which cannot be reclaimed, and on a RAM-full host the OOM
+    killer fires mid-dump (observed killing the TVR-scale run at its 17GB
+    cache write). Bounding un-synced bytes keeps reclaimable headroom."""
+
+    def __init__(self, f, chunk: int = 256 * 1024 * 1024):
+        self._f = f
+        self._chunk = chunk
+        self._since_sync = 0
+
+    def write(self, data) -> int:
+        n = self._f.write(data)
+        self._since_sync += n
+        if self._since_sync >= self._chunk:
+            self._f.flush()
+            os.fsync(self._f.fileno())
+            self._since_sync = 0
+        return n
+
+    def flush(self) -> None:
+        self._f.flush()
+
+
+def dump_pickle_throttled(obj: Any, path: str,
+                          chunk: int = 256 * 1024 * 1024) -> None:
+    """pickle.dump with bounded dirty-page footprint (see _FsyncThrottledFile)."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(obj, _FsyncThrottledFile(f, chunk), protocol=5)
+        f.flush()
+        os.fsync(f.fileno())
+
+
 def save_json(obj: Any, path: str, pretty: bool = False, sort_keys: bool = False) -> None:
     with open(path, "w") as f:
         if pretty:
