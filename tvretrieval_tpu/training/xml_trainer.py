@@ -50,6 +50,14 @@ class TrainSettings:
     hard_pool_size: int = 20
     grad_clip: float = -1.0          # extra global clip; -1 disables (ref default)
     debug_max_steps: int = -1        # truncate each epoch (reference --debug)
+    flush_every_steps: int = 32      # host-sync cadence inside an epoch: a
+    #                                  remote-relay PJRT client batches buffer
+    #                                  destroys until a sync point, so a fully
+    #                                  pipelined epoch pins EVERY transferred
+    #                                  batch in host RAM (~80GB/epoch at TVR
+    #                                  scale). One 1-element device_get per N
+    #                                  steps (~30ms) caps that at N batches.
+    #                                  <=0 disables (single-fence epochs).
     prefetch_workers: int = 2        # batch-building threads (DataLoader workers)
     prebuild_examples: bool = False  # cache fixed-shape examples once; batch
                                      # building becomes pure numpy gathers
@@ -221,6 +229,12 @@ class XMLTrainer:
                 self.params, self.opt_state, batch, self.rng, lw, neg_upper)
             self.global_step += 1
             step_losses.append(loss_dict)
+            if (self.s.flush_every_steps > 0
+                    and len(step_losses) % self.s.flush_every_steps == 0):
+                # periodic 1-element fence: lets the relay flush its batched
+                # buffer destroys (see flush_every_steps); also bounds how
+                # far the host can run ahead of the device
+                jax.device_get(loss)
             t0 = time.time()
             dispatch.update(t0 - t1)
             if 0 < self.s.debug_max_steps <= len(step_losses):
