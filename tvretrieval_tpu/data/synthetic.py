@@ -64,49 +64,82 @@ def make_synthetic_world(
         proj_s = (rng.normal(size=(query_dim, text_dim))
                   / np.sqrt(query_dim)).astype(np.float32)
 
+    # Everything below is fully vectorized: at TVR scale (21,818 videos x 100
+    # clips x 3072-d + 109K queries) the per-video/per-query Python loops this
+    # replaces took ~1h on a 1-core host; the bulk draws + segment adds take
+    # ~1 min. Per-video features are views into one (n_videos, max_clips, D)
+    # block (rows beyond each video's n_clips are never exposed).
+    big_v = rng.standard_normal((n_videos, max_clips, vid_dim), dtype=np.float32)
+    if noise != 1.0:
+        big_v *= np.float32(noise)
+    big_v += vid_topics[:, None, :]
+    big_s = rng.standard_normal((n_videos, max_clips, text_dim), dtype=np.float32)
+    if noise != 1.0:
+        big_s *= np.float32(noise)
+    big_s += topics[:, None, :]
+
+    # per-query draws (same distributions as the original per-query loop)
+    vi = rng.integers(0, n_videos, size=n_queries)
+    Lq = n_clips[vi]
+    st = rng.integers(0, np.maximum(Lq - 2, 1))
+    ed = rng.integers(st + 1, np.minimum(st + 8, Lq) + 1)
+    if query_dim:
+        content_q = rng.standard_normal((n_queries, query_dim), dtype=np.float32)
+        content = content_q @ proj_s
+        vid_content = content_q @ proj_v
+        q_center = content_q
+    else:
+        content = rng.standard_normal((n_queries, text_dim), dtype=np.float32)
+        vid_content = rng.standard_normal((n_queries, vid_dim), dtype=np.float32)
+        q_center = np.concatenate([content, vid_content], axis=1)
+
+    # plant, weak across the whole GT video: sum each video's query contents
+    acc_v = np.zeros((n_videos, vid_dim), dtype=np.float32)
+    acc_s = np.zeros((n_videos, text_dim), dtype=np.float32)
+    np.add.at(acc_v, vi, vid_content)
+    np.add.at(acc_s, vi, content)
+    big_v += (0.3 * np.float32(signal)) * acc_v[:, None, :]
+    big_s += (0.3 * np.float32(signal)) * acc_s[:, None, :]
+
+    # plant, strong inside the GT span: expand spans to flat clip rows and
+    # segment-add (duplicates accumulate, matching the sequential loop)
+    span_len = (ed - st).astype(np.int64)
+    rep = np.repeat(np.arange(n_queries), span_len)
+    offs = np.arange(len(rep)) - np.repeat(np.cumsum(span_len) - span_len, span_len)
+    rows = vi[rep] * max_clips + st[rep] + offs
+    flat_v = big_v.reshape(-1, vid_dim)
+    flat_s = big_s.reshape(-1, text_dim)
+    sig = np.float32(signal)
+    for lo in range(0, len(rows), 1 << 18):  # chunk the (K, D) temps
+        sl = slice(lo, lo + (1 << 18))
+        np.add.at(flat_v, rows[sl], sig * vid_content[rep[sl]])
+        np.add.at(flat_s, rows[sl], sig * content[rep[sl]])
+
     video_feats: Dict[str, np.ndarray] = {}
     sub_feats: Dict[str, np.ndarray] = {}
-    for vi, name in enumerate(vid_names):
-        L = int(n_clips[vi])
-        video_feats[name] = (vid_topics[vi][None, :]
-                             + noise * rng.normal(size=(L, vid_dim))).astype(np.float32)
-        sub_feats[name] = (topics[vi][None, :]
-                           + noise * rng.normal(size=(L, text_dim))).astype(np.float32)
+    for i, name in enumerate(vid_names):
+        L = int(n_clips[i])
+        video_feats[name] = big_v[i, :L]
+        sub_feats[name] = big_s[i, :L]
+
+    # query token features: center + 0.5 * noise, n_tokens in [5, 19]
+    n_tokens = rng.integers(5, 20, size=n_queries)
+    q_all = rng.standard_normal((n_queries, 19, q_center.shape[1]),
+                                dtype=np.float32)
+    q_all *= np.float32(0.5)
+    q_all += q_center[:, None, :]
 
     annotations: List[dict] = []
     query_feats: Dict[str, np.ndarray] = {}
     for qi in range(n_queries):
-        vi = int(rng.integers(n_videos))
-        L = int(n_clips[vi])
-        st_clip = int(rng.integers(0, max(L - 2, 1)))
-        ed_clip = int(rng.integers(st_clip + 1, min(st_clip + 8, L) + 1))
-        if query_dim:
-            content_q = rng.normal(size=(query_dim,)).astype(np.float32)
-            content = content_q @ proj_s
-            vid_content = content_q @ proj_v
-            q_center = content_q
-        else:
-            content = rng.normal(size=(text_dim,)).astype(np.float32)
-            vid_content = rng.normal(size=(vid_dim,)).astype(np.float32)
-            q_center = np.concatenate([content, vid_content])
-
-        # plant: strong inside the span, weak across the whole GT video
-        video_feats[vid_names[vi]][st_clip:ed_clip] += signal * vid_content
-        video_feats[vid_names[vi]] += 0.3 * signal * vid_content
-        sub_feats[vid_names[vi]][st_clip:ed_clip] += signal * content
-        sub_feats[vid_names[vi]] += 0.3 * signal * content
-
-        n_tokens = int(rng.integers(5, 20))
-        q = (q_center[None, :]
-             + 0.5 * rng.normal(size=(n_tokens, len(q_center)))).astype(np.float32)
         desc_id = 90000 + qi
-        query_feats[str(desc_id)] = q
+        query_feats[str(desc_id)] = q_all[qi, : n_tokens[qi]]
         annotations.append({
             "desc_id": desc_id,
             "desc": f"synthetic query {qi}",
-            "vid_name": vid_names[vi],
-            "duration": float(durations[vi]),
-            "ts": [st_clip * clip_length, ed_clip * clip_length],
+            "vid_name": vid_names[vi[qi]],
+            "duration": float(durations[vi[qi]]),
+            "ts": [float(st[qi]) * clip_length, float(ed[qi]) * clip_length],
             "type": ["v", "t", "vt"][qi % 3],
         })
 
