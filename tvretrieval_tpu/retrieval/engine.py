@@ -169,6 +169,76 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
     )
 
 
+def encode_corpus_resident(model: XML, variables, device_data,
+                           corpus: CorpusIndex,
+                           cfg: RetrievalConfig) -> CorpusCache:
+    """encode_corpus against the HBM-resident context block
+    (data/device_corpus.py) — zero host->device feature transfer per epoch.
+
+    Equivalent to encode_corpus (exactness-tested): chunks of context_bsz
+    videos are sliced from the resident block, assembled on device (TEF +
+    mask from clip counts), encoded, and written into PREALLOCATED cache
+    buffers via donated dynamic_update_slice — in-place, so peak HBM is
+    cache + one chunk rather than 2x cache (the concat in encode_corpus
+    transiently doubles the cache, which no longer fits alongside the
+    resident corpus at 21.8K-video scale). The final partial chunk is
+    handled by overlapping the previous one (encode is deterministic
+    per-video, so rewriting rows is exact), keeping one compiled shape.
+    """
+    from tvretrieval_tpu.data.device_corpus import assemble_context
+
+    akw = device_data.assemble_kwargs
+    ctx = device_data.ctx_device
+    nv = len(corpus)
+    bsz = min(cfg.context_bsz, nv)
+    dt = cfg.cache_dtype
+    cat_mode = cfg.span_score_mode == "simsweep_cat"
+
+    @jax.jit
+    def _encode_chunk(vars_, ctx, start):
+        slots = start + jnp.arange(bsz, dtype=jnp.int32)
+        vfeat, mask, sfeat, _ = assemble_context(ctx, slots, **akw)
+        vf1, vf2, sf1, sf2 = model.apply(
+            vars_, vfeat, mask, sfeat, mask, method=XML.encode_context)
+        cast = lambda x: None if x is None else x.astype(dt)
+        norm = lambda x: None if x is None else cast(
+            x / (jnp.linalg.norm(x.astype(jnp.float32), axis=-1,
+                                 keepdims=True) + 1e-12))
+        return norm(vf1), cast(vf2), norm(sf1), cast(sf2), mask
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _write(buf, chunk, start):
+        return jax.lax.dynamic_update_slice(
+            buf, chunk, (start,) + (0,) * (buf.ndim - 1))
+
+    starts = list(range(0, nv - bsz, bsz)) + [nv - bsz]
+    bufs: Dict[str, Optional[jnp.ndarray]] = {}
+    for start in starts:
+        vf1, vf2, sf1, sf2, mask = _encode_chunk(
+            variables, ctx, jnp.int32(start))
+        parts = {"vf1": vf1, "sf1": sf1, "mask": mask}
+        if cat_mode and vf2 is not None and sf2 is not None:
+            parts["feat2_cat"] = jnp.concatenate([vf2, sf2], axis=-1)
+        else:
+            parts.update(vf2=vf2, sf2=sf2)
+        for k, v in parts.items():
+            if v is None:
+                continue
+            if k not in bufs:
+                bufs[k] = jnp.zeros((nv,) + v.shape[1:], v.dtype)
+            bufs[k] = _write(bufs[k], v, start)
+
+    get = bufs.get
+    return CorpusCache(
+        video_feat1=get("vf1"), video_feat2=get("vf2"),
+        sub_feat1=get("sf1"), sub_feat2=get("sf2"),
+        mask=bufs["mask"], n_videos=nv,
+        metas=[{"vid_name": v, "duration": d}
+               for v, d in zip(corpus.vid_names, corpus.durations)],
+        feat2_cat=get("feat2_cat"),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("model", "cfg", "do_svmr",
                                              "use_external_vr"))
 def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
@@ -321,7 +391,8 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
              query_rows: List[dict], corpus: CorpusIndex, cfg: RetrievalConfig,
              tasks: Sequence[str] = ("VCMR", "SVMR", "VR"),
              external_vr_path: Optional[str] = None,
-             return_arrays: bool = False) -> Dict[str, list]:
+             return_arrays: bool = False,
+             query_table=None) -> Dict[str, list]:
     """Score all queries against the cached corpus; return submission dict
     entries per task (reference compute_query2ctx_info, inference.py:252-445).
 
@@ -329,6 +400,9 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
     the internal video ranking (reference --external_inference_vr_res_path).
     return_arrays: return row-aligned numpy arrays for
     eval_retrieval_arrays instead of prediction dicts (per-epoch eval path).
+    query_table: optional data.device_corpus.QueryTable row-aligned with
+    query_rows — query features then stream quantized and are assembled on
+    device, skipping the host's per-row batch building each epoch.
     """
     do_svmr = "SVMR" in tasks
     vid2meta = {m["vid_name"]: i for i, m in enumerate(cache.metas)}
@@ -341,6 +415,13 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
     n_q = len(query_rows)
     if n_q == 0:
         return {}
+    if query_table is not None and len(query_table.q_len) != n_q:
+        raise ValueError("query_table must be row-aligned with query_rows")
+    _assemble_q = None
+    if query_table is not None:
+        from tvretrieval_tpu.data.device_corpus import assemble_queries
+        _assemble_q = jax.jit(assemble_queries,
+                              static_argnames=("dtype_name", "max_desc_l"))
     bsz = min(cfg.query_bsz, n_q)
     collected = []
     for i in range(0, n_q, bsz):
@@ -348,7 +429,16 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
         pad = bsz - len(rows)
         if pad:
             rows = rows + [rows[-1]] * pad
-        qb = builder.build_query_batch(rows)
+        if query_table is not None:
+            idx = np.minimum(np.arange(i, i + bsz), n_q - 1)
+            qf, ql, _, _ = query_table.chunk(idx)
+            q_feat, q_mask = _assemble_q(
+                jnp.asarray(qf), jnp.asarray(ql),
+                dtype_name=query_table.dtype_name,
+                max_desc_l=query_table.max_desc_l)
+        else:
+            qb = builder.build_query_batch(rows)
+            q_feat, q_mask = jnp.asarray(qb.query_feat), jnp.asarray(qb.query_mask)
         gt_idx = np.asarray(
             [vid2meta.get(r.get("vid_name") or "", 0) for r in rows], dtype=np.int32)
         ext_args = {}
@@ -368,7 +458,7 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
             ext_args["feat2_cat"] = cache.feat2_cat
         out = _score_query_batch(
             model, variables, cfg,
-            jnp.asarray(qb.query_feat), jnp.asarray(qb.query_mask),
+            q_feat, q_mask,
             cache.video_feat1, cache.video_feat2,
             cache.sub_feat1, cache.sub_feat2,
             cache.mask, jnp.asarray(gt_idx), do_svmr, **ext_args)

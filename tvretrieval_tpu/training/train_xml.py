@@ -78,6 +78,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="directory pickling the prebuilt example arrays and "
                         "the eval context-batch cache across runs (restarts "
                         "skip ~1.5h of 1-core cache building at TVR scale)")
+    p.add_argument("--device_data", action="store_true",
+                   help="HBM-resident corpus training (data/device_corpus.py)"
+                        ": context features live on device (quantized), "
+                        "batches assemble on device, K steps per dispatch — "
+                        "required for TVR-scale training through the ~25MB/s "
+                        "remote-TPU link")
+    p.add_argument("--device_data_dtype", type=str, default="float8_e4m3fn",
+                   choices=["float8_e4m3fn", "int8", "float16", "float32"],
+                   help="resident-feature storage dtype (float8 fits the "
+                        "full TVR corpus + encoded eval cache in one 16GB "
+                        "chip; float32 is bit-exact vs the host path)")
+    p.add_argument("--scan_steps", type=int, default=8,
+                   help="optimizer steps per device dispatch (lax.scan) in "
+                        "--device_data mode")
     # model
     p.add_argument("--hidden_size", type=int, default=256)
     p.add_argument("--n_heads", type=int, default=4)
@@ -209,12 +223,14 @@ def setup_world(args):
 
 
 def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks,
-                       results_dir: str, tag: str, apply_nms: bool = False):
+                       results_dir: str, tag: str, apply_nms: bool = False,
+                       device_data=None):
     """Corpus inference + metrics; returns (metrics, metrics_nms, file_paths)."""
     from tvretrieval_tpu.evaluation.metrics import eval_retrieval
     from tvretrieval_tpu.evaluation.nms import POST_PROCESSING_NMS_FUNC
     from tvretrieval_tpu.evaluation.submission import submission_top_n
-    from tvretrieval_tpu.retrieval.engine import RetrievalConfig, encode_corpus, retrieve
+    from tvretrieval_tpu.retrieval.engine import (
+        RetrievalConfig, encode_corpus, encode_corpus_resident, retrieve)
     from tvretrieval_tpu.utils.io import save_json
 
     rcfg = RetrievalConfig(
@@ -232,11 +248,17 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
     if not has_gt:
         tasks = tuple(t for t in tasks if t != "SVMR")
 
-    cache = encode_corpus(model, variables, builder, corpus, rcfg)
+    if device_data is not None:
+        cache = encode_corpus_resident(model, variables, device_data,
+                                       corpus, rcfg)
+    else:
+        cache = encode_corpus(model, variables, builder, corpus, rcfg)
     raw = retrieve(model, variables, builder, cache,
                    eval_rows, corpus, rcfg, tasks=tasks,
                    external_vr_path=getattr(
-                       args, "external_inference_vr_res_path", None))
+                       args, "external_inference_vr_res_path", None),
+                   query_table=(device_data.retrieval_queries
+                                if device_data is not None else None))
     raw["video2idx"] = corpus.video2idx
 
     submission = submission_top_n(raw, top_n=100)
@@ -270,15 +292,17 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
 
 
 def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
-                            args, tasks, ctx_batch_cache=None):
+                            args, tasks, ctx_batch_cache=None,
+                            device_data=None):
     """Array-path per-epoch eval: no prediction dicts, no files. Returns
     (metrics, arrays); build a submission from arrays only when needed
     (best epoch). Falls back to nothing special — DiDeMo multi-annotation
     rows need the dict path. ctx_batch_cache: persistent list reusing the
-    host-built context batches across epochs."""
+    host-built context batches across epochs. device_data: HBM-resident
+    corpus (encode + query streaming skip all host feature building)."""
     from tvretrieval_tpu.evaluation.metrics import eval_retrieval_arrays
     from tvretrieval_tpu.retrieval.engine import (
-        RetrievalConfig, encode_corpus, retrieve)
+        RetrievalConfig, encode_corpus, encode_corpus_resident, retrieve)
 
     rcfg = RetrievalConfig(
         q2c_alpha=args.q2c_alpha, min_pred_l=args.min_pred_l,
@@ -289,12 +313,18 @@ def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
         cache_dtype_str=getattr(args, "eval_cache_dtype", "float32"),
         span_score_mode=getattr(args, "span_score_mode", "gather"),
         video_score_mode=getattr(args, "video_score_mode", "einsum"))
-    cache = encode_corpus(model, variables, builder, corpus, rcfg,
-                          batch_cache=ctx_batch_cache)
+    if device_data is not None:
+        cache = encode_corpus_resident(model, variables, device_data,
+                                       corpus, rcfg)
+    else:
+        cache = encode_corpus(model, variables, builder, corpus, rcfg,
+                              batch_cache=ctx_batch_cache)
     arrays = retrieve(model, variables, builder, cache, eval_rows, corpus,
                       rcfg, tasks=tasks, return_arrays=True,
                       external_vr_path=getattr(
-                          args, "external_inference_vr_res_path", None))
+                          args, "external_inference_vr_res_path", None),
+                      query_table=(device_data.retrieval_queries
+                                   if device_data is not None else None))
     metrics = eval_retrieval_arrays(
         eval_rows, corpus.video2idx,
         vcmr=arrays["VCMR"][:2] if "VCMR" in arrays else None,
@@ -375,11 +405,21 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
         prebuild_examples=args.prebuild_examples,
         prebuild_dtype=args.prebuild_dtype,
         prebuild_cache_dir=args.prebuild_cache_dir or "",
+        scan_steps=args.scan_steps,
         debug_max_steps=4 if args.debug else -1,
         eval_tasks=tuple(args.eval_tasks_at_training), stop_task=args.stop_task)
 
     mesh = make_mesh(args.n_devices)
-    trainer = XMLTrainer(model_cfg, settings, builder, train_rows, mesh=mesh)
+    device_data = None
+    if args.device_data:
+        from tvretrieval_tpu.data.device_corpus import build_device_data
+        from tvretrieval_tpu.parallel.mesh import replicate_sharding
+        device_data = build_device_data(
+            builder, corpus, train_rows, eval_rows,
+            dtype_name=args.device_data_dtype,
+            sharding=replicate_sharding(mesh))
+    trainer = XMLTrainer(model_cfg, settings, builder, train_rows, mesh=mesh,
+                         device_data=device_data)
     from tvretrieval_tpu.utils.io import count_params
     logger.info("mesh: %s devices; %d steps/epoch; %s params",
                 mesh.devices.size, trainer.steps_per_epoch,
@@ -426,7 +466,8 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     if args.eval_untrained and eval_rows:
         metrics, _ = evaluate_retrieval_fast(
             trainer.model, trainer.variables(), builder, corpus, eval_rows,
-            args, tasks=settings.eval_tasks, ctx_batch_cache=ctx_batch_cache)
+            args, tasks=settings.eval_tasks, ctx_batch_cache=ctx_batch_cache,
+            device_data=device_data)
         _maybe_save_ctx_cache()
         eval_log.write(f"[epoch -1] {json.dumps(metrics)}\n")
         eval_log.flush()
@@ -461,13 +502,14 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
             metrics, _, _ = evaluate_retrieval(
                 trainer.model, trainer.variables(), builder, corpus,
                 eval_rows, args, tasks=settings.eval_tasks,
-                results_dir=results_dir, tag="latest")
+                results_dir=results_dir, tag="latest",
+                device_data=device_data)
             eval_arrays = None
         else:
             metrics, eval_arrays = evaluate_retrieval_fast(
                 trainer.model, trainer.variables(), builder, corpus,
                 eval_rows, args, tasks=settings.eval_tasks,
-                ctx_batch_cache=ctx_batch_cache)
+                ctx_batch_cache=ctx_batch_cache, device_data=device_data)
             _maybe_save_ctx_cache()  # first epoch populates it when --eval_untrained is off
         eval_log.write(f"[epoch {epoch}] {json.dumps(metrics)}\n")
         eval_log.flush()
@@ -516,7 +558,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
         final_metrics, final_nms, _ = evaluate_retrieval(
             trainer.model, trainer.variables(), builder, corpus, eval_rows, args,
             tasks=settings.eval_tasks, results_dir=results_dir,
-            tag="inference", apply_nms=True)
+            tag="inference", apply_nms=True, device_data=device_data)
         logger.info("final metrics: %s",
                     json.dumps({t: final_metrics[t] for t in settings.eval_tasks
                                 if t in final_metrics}))

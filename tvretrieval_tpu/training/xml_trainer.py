@@ -69,12 +69,21 @@ class TrainSettings:
     seed: int = 2018
     eval_tasks: Sequence[str] = ("VCMR", "SVMR", "VR")
     stop_task: str = "VCMR"
+    # device-resident data (data/device_corpus.py): corpus context features
+    # live in HBM; train steps gather them on device and run K steps per
+    # dispatch under lax.scan. The last steps_per_epoch % scan_steps batches
+    # of each epoch are dropped (one compiled chunk shape) — set
+    # scan_steps=1 for exact step-count parity with the host path.
+    scan_steps: int = 8
 
 
 class XMLTrainer:
     def __init__(self, model_cfg: XMLConfig, settings: TrainSettings,
                  builder: ExampleBuilder, train_rows: List[dict],
-                 mesh=None):
+                 mesh=None, device_data=None):
+        """device_data: optional data.device_corpus.DeviceData — switches
+        train/eval-loss epochs to the HBM-resident corpus path (on-device
+        batch assembly, K steps per dispatch)."""
         self.model = XML(model_cfg)
         self.cfg = model_cfg
         self.s = settings
@@ -91,7 +100,8 @@ class XMLTrainer:
         self.prebuilt = None
         self._eval_prebuilt = None
         self._eval_prebuilt_key = None
-        if settings.prebuild_examples:
+        self.device_data = device_data
+        if settings.prebuild_examples and device_data is None:
             self.prebuilt = self._load_or_build_prebuilt(
                 "train_prebuilt.pkl", train_rows, eval_labels=False)
 
@@ -111,6 +121,9 @@ class XMLTrainer:
         self.rng = jax.random.PRNGKey(settings.seed + 1)
         self._step = self._make_train_step()
         self._eval_step = self._make_eval_step()
+        if device_data is not None:
+            self._scan_step = self._make_train_scan()
+            self._dd_eval_step = self._make_device_eval_step()
         self.global_step = 0
 
     # ------------------------------------------------------------------ build
@@ -196,6 +209,68 @@ class XMLTrainer:
 
         return step
 
+    def _make_train_scan(self):
+        """K optimizer steps per dispatch over device-resident context.
+
+        The scan body is the exact _make_train_step computation with batch
+        assembly moved on-device (device_corpus.assemble_batch); the rng
+        split sequence matches the per-step path, so scan_steps=1 reproduces
+        the host-path trajectory bit-for-bit under float32 storage."""
+        import functools
+
+        from tvretrieval_tpu.data.device_corpus import assemble_batch
+
+        model, tx = self.model, self.tx
+        akw = self.device_data.assemble_kwargs
+        max_desc_l = self.builder.max_desc_l
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def steps(params, opt_state, rng, ctx, q_feat, q_len, slots, st_ed,
+                  lw_st_ed, neg_upper):
+            def body(carry, xs):
+                params, opt_state, rng = carry
+                qf, ql, sl, se = xs
+                k_drop, k_neg, rng = jax.random.split(rng, 3)
+                batch = assemble_batch(ctx, qf, ql, sl, se,
+                                       max_desc_l=max_desc_l, **akw)
+
+                def loss_fn(p):
+                    loss, ld = model.apply(
+                        {"params": p}, **batch, lw_st_ed=lw_st_ed,
+                        neg_sample_upper=neg_upper, deterministic=False,
+                        rngs={"dropout": k_drop, "negatives": k_neg})
+                    return loss, ld
+
+                (loss, ld), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, rng), (loss, ld)
+
+            (params, opt_state, rng), (losses, lds) = jax.lax.scan(
+                body, (params, opt_state, rng), (q_feat, q_len, slots, st_ed))
+            return params, opt_state, rng, losses, lds
+
+        return steps
+
+    def _make_device_eval_step(self):
+        from tvretrieval_tpu.data.device_corpus import assemble_batch
+
+        model = self.model
+        akw = self.device_data.assemble_kwargs
+        max_desc_l = self.builder.max_desc_l
+
+        @jax.jit
+        def step(params, ctx, q_feat, q_len, slots, st_ed, lw_st_ed, neg_upper):
+            batch = assemble_batch(ctx, q_feat, q_len, slots, st_ed,
+                                   max_desc_l=max_desc_l, **akw)
+            loss, loss_dict = model.apply(
+                {"params": params}, **batch, lw_st_ed=lw_st_ed,
+                neg_sample_upper=neg_upper, deterministic=True)
+            return loss, loss_dict
+
+        return step
+
     # ----------------------------------------------------------------- epochs
     def _schedule(self, epoch: int):
         s = self.s
@@ -207,7 +282,82 @@ class XMLTrainer:
         neg_upper = jnp.int32(min(1 + s.hard_pool_size, s.bsz) if hard else s.bsz)
         return lw, neg_upper
 
+    def _chunk_sharding(self):
+        """Sharding for (K, B, ...) streamed chunk arrays: batch axis 1."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.mesh.devices.size == 1:
+            return None
+        return NamedSharding(self.mesh, P(None, "data"))
+
+    def _train_epoch_device(self, epoch: int) -> Dict[str, float]:
+        """HBM-resident corpus path: host streams only (query, slot, label)
+        chunks; K steps run per dispatch (see _make_train_scan)."""
+        lw, neg_upper = self._schedule(epoch)
+        K = max(self.s.scan_steps, 1)
+        B = self.s.bsz
+        tq = self.device_data.train_queries
+        ctx = self.device_data.ctx_device
+        order = np.arange(len(self.train_rows))
+        rng = np.random.default_rng(self.s.seed + epoch)  # = BatchIterator
+        rng.shuffle(order)
+        n_chunks = self.steps_per_epoch // K
+        sh = self._chunk_sharding()
+
+        def chunks():
+            for c in range(n_chunks):
+                yield order[c * K * B:(c + 1) * K * B]
+
+        def build(idx):
+            qf, ql, sl, se = tq.chunk(idx)
+            return tuple(a.reshape((K, B) + a.shape[1:])
+                         for a in (qf, ql, sl, se))
+
+        def put(arrs):
+            return tuple(jax.device_put(a, sh) if sh is not None
+                         else jax.device_put(a) for a in arrs)
+
+        from tvretrieval_tpu.data.pipeline import DevicePrefetcher
+        prefetch = DevicePrefetcher(chunks(), build_fn=build, put_fn=put,
+                                    n_workers=self.s.prefetch_workers)
+        chunk_lds = []
+        last_losses = None
+        data_wait = AverageMeter()
+        dispatch = AverageMeter()
+        t0 = time.time()
+        done_steps = 0
+        for qf, ql, sl, se in prefetch:
+            t1 = time.time()
+            data_wait.update(t1 - t0)
+            (self.params, self.opt_state, self.rng, last_losses,
+             lds) = self._scan_step(self.params, self.opt_state, self.rng,
+                                    ctx, qf, ql, sl, se, lw, neg_upper)
+            self.global_step += K
+            done_steps += K
+            chunk_lds.append(lds)
+            if (self.s.flush_every_steps > 0
+                    and done_steps % max(self.s.flush_every_steps, K) < K):
+                jax.device_get(last_losses[-1])   # relay flush fence
+            t0 = time.time()
+            dispatch.update(t0 - t1)
+            if 0 < self.s.debug_max_steps <= done_steps:
+                break
+        meters = {k: AverageMeter() for k in
+                  ("loss_st_ed", "loss_neg_ctx", "loss_neg_q", "loss_overall")}
+        chunk_lds = jax.device_get(chunk_lds)     # [{k: (K,)}]
+        self.last_step_losses = [
+            {k: float(v[i]) for k, v in ld.items()}
+            for ld in chunk_lds for i in range(len(next(iter(ld.values()))))]
+        for ld in self.last_step_losses:
+            for k, v in ld.items():
+                meters[k].update(v)
+        out = {k: m.avg for k, m in meters.items()}
+        out["time/data_wait_s"] = data_wait.avg
+        out["time/step_dispatch_s"] = dispatch.avg
+        return out
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
+        if self.device_data is not None:
+            return self._train_epoch_device(epoch)
         lw, neg_upper = self._schedule(epoch)
         it = BatchIterator(self.train_rows, self.s.bsz, shuffle=True,
                            drop_last=True, seed=self.s.seed)
@@ -262,6 +412,19 @@ class XMLTrainer:
                            seed=self.s.seed)
         if len(it) == 0:
             return {}
+        if self.device_data is not None:
+            eq = self.device_data.eval_queries
+            ctx = self.device_data.ctx_device
+            n = len(eval_rows)
+            for lo in range(0, n, self.s.bsz):
+                idx = np.arange(lo, min(lo + self.s.bsz, n))
+                qf, ql, sl, se = eq.chunk(idx)  # remainder at natural shape
+                _, loss_dict = self._dd_eval_step(
+                    self.params, ctx, *map(jnp.asarray, (qf, ql, sl, se)),
+                    lw, neg_upper)
+                for k, v in loss_dict.items():
+                    meters[k].update(float(v))
+            return {k: m.avg for k, m in meters.items()}
         if self.prebuilt is not None and self._eval_prebuilt_key != id(eval_rows):
             # eval rows recur every epoch: cache them like the train rows
             self._eval_prebuilt = self._load_or_build_prebuilt(
