@@ -6,18 +6,25 @@
 # queries, video 3072-d + TEF, subtitles 768-d + TEF, queries 768-d with a
 # planted signal projected into the context spaces.
 # Results + trajectory: BENCH_NOTES.md "TVR-scale validation run".
+#
+# --device_data is what makes this feasible through the ~25 MB/s remote-TPU
+# link: the corpus context features live in HBM (float8, 8.4 GB), batches
+# assemble on device, and 8 optimizer steps run per dispatch — an epoch
+# streams ~120 MB instead of ~100 GB. World generation is vectorized
+# (~1 min), so no disk caches are needed for restarts.
+#
+# --video_score_mode pallas is REQUIRED at this scale: the einsum path
+# materializes an (Nq, L, Nv) f32 score tensor (8.7 GB at query_bsz 100)
+# that no longer fits beside the resident corpus + encoded eval cache.
 set -e
-# The TPU-relay client journals every host->device transfer for replay on
-# reconnect; without compaction the journal pins every train batch in host
-# RAM (~80GB/epoch at this scale -> kernel OOM). See CLAUDE.md.
-export AXON_JOURNAL_COMPACT=1
+export AXON_JOURNAL_COMPACT=1   # cap the relay transfer journal (CLAUDE.md)
 python -m tvretrieval_tpu.training.train_xml --synthetic \
   --exp_id tvrscale --results_root "${1:-results_scale}" \
   --synthetic_videos 21818 --synthetic_queries 109000 \
   --synthetic_vid_dim 3072 --synthetic_text_dim 768 --synthetic_query_dim 768 \
   --synthetic_max_clips 100 --synthetic_train_frac 0.9 \
-  --synthetic_cache /tmp/tvr_scale_world.pkl \
-  --prebuild_cache_dir /tmp/tvr_scale_prebuilt \
-  --n_epoch 100 --bsz 128 --prebuild_examples --prebuild_dtype float16 \
-  --eval_query_bsz 100 --eval_context_bsz 200 --eval_cache_dtype bfloat16 \
+  --device_data --device_data_dtype float8_e4m3fn --scan_steps 8 \
+  --n_epoch 100 --bsz 128 \
+  --eval_query_bsz 50 --eval_context_bsz 200 --eval_cache_dtype bfloat16 \
+  --video_score_mode pallas --span_score_mode gather \
   --eval_untrained "${@:2}"

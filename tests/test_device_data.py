@@ -115,6 +115,27 @@ def test_train_trajectory_matches_host_path_f32(scan_steps):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_device_train_sharded_matches_single_device():
+    """8-device data-parallel scan path == single-device scan path."""
+    from tvretrieval_tpu.parallel.mesh import make_mesh, replicate_sharding
+
+    w, builder = _world_and_builder(n_queries=32)
+    cfg = _model_cfg(builder)
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(n_dev)
+        dd = build_device_data(builder, w.corpus, w.annotations, [],
+                               dtype_name="float32",
+                               sharding=replicate_sharding(mesh))
+        tr = XMLTrainer(cfg, TrainSettings(n_epoch=1, bsz=16, seed=7,
+                                           scan_steps=2),
+                        builder, w.annotations, mesh=mesh, device_data=dd)
+        tr.train_epoch(0)
+        results[n_dev] = jax.tree_util.tree_leaves(tr.params)
+    for a, b in zip(results[1], results[8]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_encode_corpus_resident_matches():
     from tvretrieval_tpu.retrieval.engine import (
         RetrievalConfig, encode_corpus, encode_corpus_resident)
