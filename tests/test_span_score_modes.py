@@ -140,3 +140,43 @@ def test_sharded_simsweep_matches_single_device(setup):
                                ref["vcmr_scores"], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(out["svmr_st"]), ref["svmr_st"])
     np.testing.assert_array_equal(np.asarray(out["svmr_ed"]), ref["svmr_ed"])
+
+
+def test_sharded_simsweep_cat_matches_single_device(setup):
+    """Sharded simsweep_cat (feat2_cat riding the vf2 slot, see
+    cat_mode_feat2_args) must match the single-device gather-mode engine."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    if rcfg.cache_dtype_str != "float32":
+        pytest.skip("one dtype is enough for the sharded mode check")
+    from tvretrieval_tpu.parallel.mesh import make_mesh
+    from tvretrieval_tpu.parallel.sharded_retrieval import (
+        pad_videos_to_multiple, score_query_batch_sharded)
+
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos, "gather")
+    mesh = make_mesh(8)
+    feat2_cat = jnp.concatenate([cache.video_feat2, cache.sub_feat2], axis=-1)
+    arrs, nv_pad = pad_videos_to_multiple(
+        [cache.video_feat1, feat2_cat, cache.sub_feat1, cache.mask],
+        cache.n_videos, 8)
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    vf1, f2c, sf1, mask = [jax.device_put(a, sh) for a in arrs]
+    sf2_dummy = jax.device_put(jnp.zeros((nv_pad, 1, 0), f2c.dtype), sh)
+    scfg = dataclasses.replace(rcfg, span_score_mode="simsweep_cat")
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    out = score_query_batch_sharded(model, variables, scfg, qf, qm,
+                                    vf1, f2c, sf1, sf2_dummy, mask, gt,
+                                    True, mesh)
+    np.testing.assert_array_equal(np.asarray(out["topv_idx"]), ref["topv_idx"])
+    ref_vid_global = np.take_along_axis(ref["topv_idx"],
+                                        ref["vcmr_vid_local"], axis=1)
+    np.testing.assert_array_equal(np.asarray(out["vcmr_vid_global"]),
+                                  ref_vid_global)
+    same = ((np.asarray(out["vcmr_st"]) == ref["vcmr_st"])
+            & (np.asarray(out["vcmr_ed"]) == ref["vcmr_ed"]))
+    assert same.mean() > 0.99  # fp-tie slack, as in the single-device test
+    np.testing.assert_allclose(np.asarray(out["vcmr_scores"]),
+                               ref["vcmr_scores"], rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out["svmr_scores"]),
+                               ref["svmr_scores"], rtol=2e-5, atol=1e-8)

@@ -51,7 +51,18 @@ def shard_corpus_cache(cache, mesh: Mesh):
     cache.sub_feat1 = put(cache.sub_feat1)
     cache.sub_feat2 = put(cache.sub_feat2)
     cache.mask = put(cache.mask)
+    if cache.feat2_cat is not None:
+        cache.feat2_cat = put(cache.feat2_cat)
     return cache
+
+
+def cat_mode_feat2_args(cache):
+    """(video_feat2, sub_feat2) slots for a simsweep_cat cache: feat2_cat
+    rides the video_feat2 slot (same video-axis sharding), sub_feat2 gets a
+    shardable zero-width placeholder. score_query_batch_sharded reinterprets
+    the slots when cfg.span_score_mode == "simsweep_cat"."""
+    nv = cache.feat2_cat.shape[0]
+    return cache.feat2_cat, jnp.zeros((nv, 1, 0), cache.feat2_cat.dtype)
 
 
 def pad_videos_to_multiple(arrs, n_videos: int, multiple: int):
@@ -141,7 +152,15 @@ def score_query_batch_sharded(model: XML, variables, cfg,
             gather_idx = (jnp.concatenate([top_local_idx,
                                            jnp.clip(gt_idx - base, 0, nv_local - 1)[:, None]],
                                           axis=1) if do_svmr else top_local_idx)
-            if getattr(cfg, "span_score_mode", "gather") == "simsweep":
+            mode = getattr(cfg, "span_score_mode", "gather")
+            if mode == "simsweep_cat":
+                # per-shard concatenated-cache sweep (one K=2D einsum over
+                # the local feat2_cat slice, riding the vf2 slot — see
+                # cat_mode_feat2_args) + tiny sim-row gather
+                st_logits, ed_logits = model.apply(
+                    vars_, vq, sq, vf2, cmask, gather_idx,
+                    method=XML.merged_st_ed_scores_simgather_cat)
+            elif mode == "simsweep":
                 # per-shard full-slice similarity sweep (sequential local
                 # HBM reads) + tiny sim-row gather — bit-equal to the
                 # feature-row gather (tests/test_span_score_modes.py)
