@@ -56,7 +56,7 @@ def test_assemble_matches_host_builder_f32():
     out = assemble_batch(ctx.device_arrays(), jnp.asarray(qf),
                          jnp.asarray(ql), jnp.asarray(sl), jnp.asarray(se),
                          dtype_name="float32", use_video=True, use_sub=True,
-                         use_tef=True, max_desc_l=30)
+                         use_tef=True, max_desc_l=30, **ctx.shapes)
     out = {k: np.asarray(v) for k, v in out.items()}
     for key, refv in ref.model_inputs().items():
         np.testing.assert_allclose(out[key], refv, rtol=0, atol=1e-7,
@@ -76,7 +76,8 @@ def test_f8_assembly_close():
     out = assemble_batch(ctx.device_arrays(), jnp.asarray(qf),
                          jnp.asarray(ql), jnp.asarray(sl), jnp.asarray(se),
                          dtype_name="float8_e4m3fn", use_video=True,
-                         use_sub=True, use_tef=True, max_desc_l=30)
+                         use_sub=True, use_tef=True, max_desc_l=30,
+                         **ctx.shapes)
     out = {k: np.asarray(v) for k, v in out.items()}
     # e4m3 with x64 scaling: <= 2^-4 RELATIVE error on l2-normalized values
     np.testing.assert_allclose(out["video_feat"][..., :-2],
@@ -87,6 +88,59 @@ def test_f8_assembly_close():
                                   ref.video_feat[..., -2:])  # exact TEF
     np.testing.assert_array_equal(out["video_mask"], ref.video_mask)
     np.testing.assert_array_equal(out["st_ed_indices"], ref.st_ed_indices)
+
+
+def test_byte_table_roundtrip():
+    """to_byte_table / from_byte_rows round-trips every storage dtype."""
+    from tvretrieval_tpu.data.device_corpus import (
+        from_byte_rows, quantize, to_byte_table)
+
+    rng = np.random.default_rng(0)
+    raw = rng.normal(size=(6, 5, 37)).astype(np.float32) * 0.1
+    for name in ("float32", "float16", "int8", "float8_e4m3fn"):
+        q = quantize(raw, name)
+        table = to_byte_table(q)
+        assert table.shape[1] == 8 and table.shape[2] % 128 == 0
+        back = np.asarray(from_byte_rows(jnp.asarray(table), 5, 37, name))
+        np.testing.assert_array_equal(back, q, err_msg=name)
+
+
+def test_pallas_gather_interpret_matches_indexing():
+    """gather_byte_rows (interpret mode) == plain row indexing."""
+    from tvretrieval_tpu.ops.pallas_gather import gather_byte_rows
+
+    rng = np.random.default_rng(1)
+    src = rng.integers(-128, 128, size=(40, 8, 256), dtype=np.int8)
+    idx = rng.integers(0, 40, size=13).astype(np.int32)  # non-multiple of 8
+    out = np.asarray(gather_byte_rows(jnp.asarray(src), jnp.asarray(idx),
+                                      interpret=True))
+    np.testing.assert_array_equal(out, src[idx])
+
+
+def test_assemble_kernel_path_matches_indexing_path():
+    """assemble_context with the Pallas gather (interpret) == XLA indexing."""
+    from tvretrieval_tpu.data.device_corpus import assemble_context
+    from tvretrieval_tpu.ops import pallas_gather
+
+    w, builder = _world_and_builder()
+    ctx = ContextTable.build(builder, w.corpus, "float8_e4m3fn")
+    dev = ctx.device_arrays()
+    slots = jnp.asarray(np.arange(8, dtype=np.int32) * 2 % len(w.corpus))
+    kw = dict(dtype_name="float8_e4m3fn", use_video=True, use_sub=True,
+              use_tef=True, **ctx.shapes)
+    ref = assemble_context(dev, slots, use_kernel=False, **kw)
+    orig = pallas_gather.gather_byte_rows
+
+    def interp(src, idx, interpret=False):
+        return orig(src, idx, interpret=True)
+
+    pallas_gather.gather_byte_rows = interp
+    try:
+        out = assemble_context(dev, slots, use_kernel=True, **kw)
+    finally:
+        pallas_gather.gather_byte_rows = orig
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 @pytest.mark.parametrize("scan_steps", [1, 2])

@@ -82,6 +82,56 @@ def dequantize(x: jnp.ndarray, dtype_name: str) -> jnp.ndarray:
     return y if scale == 1.0 else y * (1.0 / scale)
 
 
+# --------------------------------------------------------------------------
+# byte-flat device tables
+#
+# XLA-TPU lowers row gathers as mini-gather over a LAYOUT COPY of the whole
+# operand (temp ~= 1.6x operand size — measured identically for plain
+# gather, vmap/scan/unrolled dynamic_slice; see ops/pallas_gather.py
+# gather_byte_rows) — fatal for an 8.4 GB resident corpus on a 16 GB chip.
+# Device tables are therefore stored as raw BYTES, (N, 8, W) int8 with
+# W % 128 == 0, so that
+#   * random-row batches gather via the Pallas DMA kernel (zero temp),
+#   * contiguous encode chunks use lax.dynamic_slice (zero temp),
+# and rows bitcast back to the storage dtype after the copy.
+# --------------------------------------------------------------------------
+
+def to_byte_table(arr: np.ndarray) -> np.ndarray:
+    """(N, L, D) any fixed-width dtype -> (N, 8, W) int8, W % 128 == 0."""
+    n = arr.shape[0]
+    flat = np.ascontiguousarray(arr).reshape(n, -1).view(np.int8)
+    nbytes = flat.shape[1]
+    w = -(-nbytes // 1024) * 1024          # pad to 8 * 128-multiple
+    if w != nbytes:
+        flat = np.pad(flat, ((0, 0), (0, w - nbytes)))
+    return flat.reshape(n, 8, w // 8)
+
+
+def from_byte_rows(rows: jnp.ndarray, L: int, D: int,
+                   dtype_name: str) -> jnp.ndarray:
+    """(B, 8, W) int8 -> (B, L, D) storage dtype (bitcast, no copy math)."""
+    dt, _ = storage_dtype(dtype_name)
+    B = rows.shape[0]
+    n = L * D * dt.itemsize
+    flat = rows.reshape(B, -1)[:, :n]
+    if dt.itemsize == 1:
+        out = jax.lax.bitcast_convert_type(flat, dt)
+    else:
+        out = jax.lax.bitcast_convert_type(
+            flat.reshape(B, L * D, dt.itemsize), dt)
+    return out.reshape(B, L, D)
+
+
+def gather_rows(table: jnp.ndarray, slots: jnp.ndarray,
+                use_kernel: bool) -> jnp.ndarray:
+    """(N, 8, W) byte-table row gather: Pallas DMA kernel on TPU, plain
+    indexing elsewhere (CPU tests; XLA's gather copy is harmless there)."""
+    if use_kernel:
+        from tvretrieval_tpu.ops.pallas_gather import gather_byte_rows
+        return gather_byte_rows(table, slots)
+    return table[slots]
+
+
 @dataclass
 class ContextTable:
     """Host-built, corpus-ordered context feature block.
@@ -120,11 +170,19 @@ class ContextTable:
                    use_sub=builder.use_sub, use_tef=builder.use_tef)
 
     def device_arrays(self, sharding=None) -> Dict[str, jnp.ndarray]:
-        """Put the table on device (replicated across any mesh)."""
+        """Put the table on device as byte-flat (N, 8, W) int8 blocks
+        (replicated across any mesh). See the byte-table note above."""
         put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
             else jax.device_put
-        return {"v_feats": put(self.v_feats), "s_feats": put(self.s_feats),
+        return {"v_bytes": put(to_byte_table(self.v_feats)),
+                "s_bytes": put(to_byte_table(self.s_feats)),
                 "ctx_l": put(self.ctx_l)}
+
+    @property
+    def shapes(self) -> dict:
+        """Static per-stream (L, D) needed to debyte gathered rows."""
+        return dict(v_shape=self.v_feats.shape[1:],
+                    s_shape=self.s_feats.shape[1:])
 
     def nbytes(self) -> int:
         return self.v_feats.nbytes + self.s_feats.nbytes
@@ -184,18 +242,10 @@ class QueryTable:
 # device-side assembly (pure jnp; jit-composable)
 # --------------------------------------------------------------------------
 
-def assemble_context(ctx: Dict[str, jnp.ndarray], slots: jnp.ndarray, *,
-                     dtype_name: str, use_video: bool, use_sub: bool,
-                     use_tef: bool):
-    """Gather + dequantize context rows for ``slots`` (B,), recomputing TEF
-    exactly (datasets.tef_features) and the mask from clip counts.
-
-    Returns (video_feat, video_mask, sub_feat, sub_mask) matching
-    ExampleBuilder.context + _pad_to output bit-for-bit under float32
-    storage."""
-    v = dequantize(ctx["v_feats"][slots], dtype_name)    # (B, L, Dv)
-    s = dequantize(ctx["s_feats"][slots], dtype_name)
-    n = ctx["ctx_l"][slots]                              # (B,)
+def _finish_context(v, s, n, *, use_video: bool, use_sub: bool,
+                    use_tef: bool):
+    """Shared tail of context assembly: mask from clip counts + exact TEF
+    recompute (datasets.tef_features) overwriting the quantized TEF dims."""
     L = v.shape[1]
     pos = jnp.arange(L, dtype=jnp.float32)
     mask = (pos[None, :] < n[:, None].astype(jnp.float32)).astype(jnp.float32)
@@ -212,6 +262,42 @@ def assemble_context(ctx: Dict[str, jnp.ndarray], slots: jnp.ndarray, *,
     return v, mask, s, mask
 
 
+def assemble_context(ctx: Dict[str, jnp.ndarray], slots: jnp.ndarray, *,
+                     dtype_name: str, use_video: bool, use_sub: bool,
+                     use_tef: bool, v_shape, s_shape, use_kernel: bool = False):
+    """Gather + dequantize context rows for ``slots`` (B,), recomputing TEF
+    exactly and the mask from clip counts. Returns (video_feat, video_mask,
+    sub_feat, sub_mask) matching ExampleBuilder.context + _pad_to output
+    bit-for-bit under float32 storage."""
+    v = dequantize(from_byte_rows(
+        gather_rows(ctx["v_bytes"], slots, use_kernel), *v_shape, dtype_name),
+        dtype_name)
+    s = dequantize(from_byte_rows(
+        gather_rows(ctx["s_bytes"], slots, use_kernel), *s_shape, dtype_name),
+        dtype_name)
+    n = ctx["ctx_l"][slots]
+    return _finish_context(v, s, n, use_video=use_video, use_sub=use_sub,
+                           use_tef=use_tef)
+
+
+def assemble_context_slice(ctx: Dict[str, jnp.ndarray], start, size: int, *,
+                           dtype_name: str, use_video: bool, use_sub: bool,
+                           use_tef: bool, v_shape, s_shape,
+                           use_kernel: bool = False):
+    """Contiguous-chunk variant for corpus encoding: lax.dynamic_slice on
+    the byte tables (zero-temp on TPU; gather would copy the operand)."""
+    del use_kernel
+    sl = lambda t: jax.lax.dynamic_slice(
+        t, (start, 0, 0), (size,) + t.shape[1:])
+    v = dequantize(from_byte_rows(sl(ctx["v_bytes"]), *v_shape, dtype_name),
+                   dtype_name)
+    s = dequantize(from_byte_rows(sl(ctx["s_bytes"]), *s_shape, dtype_name),
+                   dtype_name)
+    n = jax.lax.dynamic_slice(ctx["ctx_l"], (start,), (size,))
+    return _finish_context(v, s, n, use_video=use_video, use_sub=use_sub,
+                           use_tef=use_tef)
+
+
 def assemble_queries(q_feat: jnp.ndarray, q_len: jnp.ndarray, *,
                      dtype_name: str, max_desc_l: int):
     """Dequantize + zero-pad queries back to (B, max_desc_l, Dq) + mask."""
@@ -226,12 +312,14 @@ def assemble_queries(q_feat: jnp.ndarray, q_len: jnp.ndarray, *,
 
 def assemble_batch(ctx: Dict[str, jnp.ndarray], q_feat, q_len, slots, st_ed, *,
                    dtype_name: str, use_video: bool, use_sub: bool,
-                   use_tef: bool, max_desc_l: int) -> Dict[str, jnp.ndarray]:
+                   use_tef: bool, max_desc_l: int, v_shape, s_shape,
+                   use_kernel: bool = False) -> Dict[str, jnp.ndarray]:
     """Full on-device train/eval-loss batch (ExampleBuilder.build_train_batch
     equivalent; exactness-tested under float32 storage)."""
     v, mask, s, _ = assemble_context(
         ctx, slots, dtype_name=dtype_name, use_video=use_video,
-        use_sub=use_sub, use_tef=use_tef)
+        use_sub=use_sub, use_tef=use_tef, v_shape=v_shape, s_shape=s_shape,
+        use_kernel=use_kernel)
     q, q_mask = assemble_queries(q_feat, q_len, dtype_name=dtype_name,
                                  max_desc_l=max_desc_l)
     return dict(query_feat=q, query_mask=q_mask,
@@ -250,11 +338,14 @@ class DeviceData:
     eval_queries: Optional[QueryTable] = None       # train-style labels (loss)
     retrieval_queries: Optional[QueryTable] = None  # same features; labels unused
 
+    use_kernel: bool = False   # Pallas DMA gather (TPU) vs plain indexing
+
     @property
     def assemble_kwargs(self) -> dict:
         t = self.ctx_table
         return dict(dtype_name=t.dtype_name, use_video=t.use_video,
-                    use_sub=t.use_sub, use_tef=t.use_tef)
+                    use_sub=t.use_sub, use_tef=t.use_tef,
+                    use_kernel=self.use_kernel, **t.shapes)
 
 
 def build_device_data(builder: ExampleBuilder, corpus: CorpusIndex,
@@ -279,5 +370,7 @@ def build_device_data(builder: ExampleBuilder, corpus: CorpusIndex,
         a.block_until_ready()
     logger.info("context block resident on device (%.1f GB, %.0fs)",
                 ctx.nbytes() / 1e9, time.time() - t0)
+    use_kernel = jax.devices()[0].platform != "cpu"
     return DeviceData(ctx_table=ctx, ctx_device=dev, train_queries=tq,
-                      eval_queries=eq, retrieval_queries=eq)
+                      eval_queries=eq, retrieval_queries=eq,
+                      use_kernel=use_kernel)

@@ -185,7 +185,7 @@ def encode_corpus_resident(model: XML, variables, device_data,
     handled by overlapping the previous one (encode is deterministic
     per-video, so rewriting rows is exact), keeping one compiled shape.
     """
-    from tvretrieval_tpu.data.device_corpus import assemble_context
+    from tvretrieval_tpu.data.device_corpus import assemble_context_slice
 
     akw = device_data.assemble_kwargs
     ctx = device_data.ctx_device
@@ -196,8 +196,9 @@ def encode_corpus_resident(model: XML, variables, device_data,
 
     @jax.jit
     def _encode_chunk(vars_, ctx, start):
-        slots = start + jnp.arange(bsz, dtype=jnp.int32)
-        vfeat, mask, sfeat, _ = assemble_context(ctx, slots, **akw)
+        # contiguous chunk: dynamic_slice (a gather here would make XLA
+        # copy the whole resident byte table — see device_corpus)
+        vfeat, mask, sfeat, _ = assemble_context_slice(ctx, start, bsz, **akw)
         vf1, vf2, sf1, sf2 = model.apply(
             vars_, vfeat, mask, sfeat, mask, method=XML.encode_context)
         cast = lambda x: None if x is None else x.astype(dt)
