@@ -1,0 +1,159 @@
+"""Per-stage timings of the bench engine program (simsweep_cat + pallas).
+
+Breaks the fused _score_query_batch into separately-jitted stages at bench
+scale (21,818 videos x 100 clips, hidden 256, query batch from argv) so the
+next optimization targets the real bottleneck. Stage boundaries force HBM
+materialization that the fused program may avoid, so the per-stage sum is
+an UPPER bound on the fused total — compare against the fused program
+timing printed last.
+
+Usage: python scripts/profile_engine_stages.py [query_bsz=400]
+"""
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+N_VIDEOS = int(os.environ.get("PROFILE_N_VIDEOS", 21818))
+N_CLIPS = int(os.environ.get("PROFILE_N_CLIPS", 100))
+HIDDEN = 256
+
+if os.environ.get("PROFILE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    jax.device_get(leaf[(0,) * leaf.ndim])
+
+
+def time_stage(fn, n_warmup=2, n_runs=10):
+    for _ in range(n_warmup):
+        _sync(fn())
+    t0 = time.perf_counter()
+    outs = [fn() for _ in range(n_runs)]
+    _sync(outs[-1])
+    return (time.perf_counter() - t0) / n_runs * 1e3
+
+
+def main():
+    qbsz = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    from tvretrieval_tpu.models.xml import XML, XMLConfig
+    from tvretrieval_tpu.ops.masking import mask_logits
+    from tvretrieval_tpu.ops.pallas_score import video_scores_pallas
+    from tvretrieval_tpu.ops.span import banded_topk_spans_grouped, topk_stable_blocked
+    from tvretrieval_tpu.retrieval.engine import RetrievalConfig, _score_query_batch
+
+    cfg = XMLConfig(ctx_mode="video_sub", visual_input_size=3074,
+                    sub_input_size=770, query_input_size=768,
+                    hidden_size=HIDDEN, n_heads=4, max_ctx_l=N_CLIPS,
+                    max_desc_l=30)
+    model = XML(cfg)
+    # CPU smoke runs can't lower the Mosaic kernel — fused program falls
+    # back to the einsum video-score mode there
+    rcfg = RetrievalConfig(cache_dtype_str="bfloat16",
+                           span_score_mode="simsweep_cat",
+                           video_score_mode=("einsum"
+                                             if os.environ.get("PROFILE_CPU")
+                                             else "pallas"))
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    dummy = dict(
+        query_feat=jnp.zeros((2, 30, 768)), query_mask=jnp.ones((2, 30)),
+        video_feat=jnp.zeros((2, N_CLIPS, 3074)),
+        video_mask=jnp.ones((2, N_CLIPS)),
+        sub_feat=jnp.zeros((2, N_CLIPS, 770)), sub_mask=jnp.ones((2, N_CLIPS)),
+        st_ed_indices=jnp.zeros((2, 2), jnp.int32))
+    variables = model.init({"params": ks[0], "dropout": ks[1],
+                            "negatives": ks[2]}, **dummy, deterministic=True)
+
+    dt = jnp.bfloat16
+    norm = lambda x: x / (jnp.linalg.norm(
+        x.astype(jnp.float32), axis=-1, keepdims=True) + 1e-12).astype(x.dtype)
+    vf1 = norm(jax.random.normal(ks[3], (N_VIDEOS, N_CLIPS, HIDDEN), dt))
+    sf1 = norm(jax.random.normal(ks[4], (N_VIDEOS, N_CLIPS, HIDDEN), dt))
+    feat2_cat = jax.random.normal(ks[5], (N_VIDEOS, N_CLIPS, 2 * HIDDEN), dt)
+    mask = jnp.ones((N_VIDEOS, N_CLIPS), jnp.float32)
+    q_feat = jax.random.normal(ks[6], (qbsz, 30, 768), jnp.float32)
+    q_mask = jnp.ones((qbsz, 30), jnp.float32)
+    gt = jnp.zeros((qbsz,), jnp.int32)
+    V = rcfg.max_vcmr_video
+
+    # --- stage jits
+    @jax.jit
+    def s_encode_q(vars_, qf, qm):
+        return model.apply(vars_, qf, qm, method=XML.encode_query)
+
+    vq, sq = s_encode_q(variables, q_feat, q_mask)
+    normq = lambda q, feat: (q / (jnp.linalg.norm(q, axis=-1, keepdims=True)
+                                  + 1e-12)).astype(feat.dtype)
+
+    interp = bool(os.environ.get("PROFILE_CPU"))
+
+    @jax.jit
+    def s_vscore_pallas(vq, sq):
+        return video_scores_pallas(normq(vq, vf1), normq(sq, sf1),
+                                   vf1, sf1, mask, interpret=interp)
+
+    @jax.jit
+    def s_vscore_einsum(vq, sq):
+        def one(q, feat1_n):
+            qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+            s = jnp.einsum("md,nld->mln", qn.astype(feat1_n.dtype), feat1_n,
+                           preferred_element_type=jnp.float32)
+            return mask_logits(s, mask.T[None]).max(axis=1)
+        return (one(vq, vf1) + one(sq, sf1)) / 2
+
+    q2c = s_vscore_pallas(vq, sq)
+
+    @jax.jit
+    def s_topv(q2c):
+        return topk_stable_blocked(jnp.exp(rcfg.q2c_alpha * q2c), V)
+
+    topv_scores, topv_idx = s_topv(q2c)
+    gather_idx = jnp.concatenate([topv_idx, gt[:, None]], axis=1)
+
+    @jax.jit
+    def s_span_sim(vq, sq, gather_idx):
+        st_l, ed_l = model.apply(variables, vq, sq, feat2_cat, mask, gather_idx,
+                                 method=XML.merged_st_ed_scores_simgather_cat)
+        st = jax.nn.softmax(st_l.astype(jnp.float32), axis=-1)
+        ed = jax.nn.softmax(ed_l.astype(jnp.float32), axis=-1)
+        return st, ed
+
+    st_probs, ed_probs = s_span_sim(vq, sq, gather_idx)
+
+    @jax.jit
+    def s_topk_spans(st_probs, ed_probs, topv_scores):
+        return banded_topk_spans_grouped(
+            st_probs[:, :V], ed_probs[:, :V], topv_scores,
+            rcfg.min_pred_l, rcfg.max_pred_l, rcfg.max_before_nms)
+
+    stages = {
+        "encode_query": lambda: s_encode_q(variables, q_feat, q_mask),
+        "video_score_pallas": lambda: s_vscore_pallas(vq, sq),
+        "video_score_einsum": lambda: s_vscore_einsum(vq, sq),
+        "video_topk": lambda: s_topv(q2c),
+        "span_sim_gather_conv_softmax": lambda: s_span_sim(vq, sq, gather_idx),
+        "grouped_topk_spans": lambda: s_topk_spans(st_probs, ed_probs,
+                                                   topv_scores),
+    }
+    total_modeled = 0.0
+    for name, fn in stages.items():
+        ms = time_stage(fn)
+        if name != "video_score_einsum":
+            total_modeled += ms
+        print(f"{name:32s} {ms:8.2f} ms")
+    print(f"{'sum (pallas path, upper bound)':32s} {total_modeled:8.2f} ms")
+
+    fused = lambda: _score_query_batch(
+        model, variables, rcfg, q_feat, q_mask, vf1, None, sf1, None,
+        mask, gt, True, feat2_cat=feat2_cat)
+    ms = time_stage(fused)
+    print(f"{'fused _score_query_batch':32s} {ms:8.2f} ms  "
+          f"({qbsz / ms * 1e3:.0f} q/s)")
+
+
+if __name__ == "__main__":
+    main()
