@@ -7,9 +7,9 @@ def test_mee_driver_e2e(tmp_path):
     from tvretrieval_tpu.training.train_mee import start_training
     out = start_training([
         "--synthetic", "--exp_id", "t", "--results_root", str(tmp_path),
-        "--n_epoch", "6", "--bsz", "16", "--synthetic_videos", "10",
+        "--n_epoch", "30", "--bsz", "16", "--synthetic_videos", "10",
         "--synthetic_queries", "48", "--output_size", "16",
-        "--eval_query_bsz", "12", "--eval_ctx_bsz", "10", "--lr", "3e-4",
+        "--eval_query_bsz", "12", "--eval_ctx_bsz", "10", "--lr", "1e-3",
     ])
     assert out["best_metrics"] is not None
     # above chance (1/10 videos = 10%) on the planted signal

@@ -55,6 +55,9 @@ def build_arg_parser():
     p.add_argument("--n_epoch", type=int, default=108)
     p.add_argument("--bsz", type=int, default=128)
     p.add_argument("--max_es_cnt", type=int, default=10)
+    p.add_argument("--es_min_delta", type=float, default=0.0,
+                   help="patience resets only when the stop metric improves "
+                        "by MORE than this; 0 = reference behavior")
     p.add_argument("--eval_query_bsz", type=int, default=100)
     p.add_argument("--max_before_nms", type=int, default=200)
     return p
@@ -163,7 +166,10 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
 
     from tvretrieval_tpu.utils.logging import MetricsLogger
     metrics_logger = MetricsLogger(results_dir)
-    prev_best, es_cnt, best_metrics = -1.0, 0, None
+    from tvretrieval_tpu.training.early_stop import EarlyStopper
+    stopper = EarlyStopper(max_es_cnt=args.max_es_cnt,
+                           min_delta=args.es_min_delta, best=-1.0)
+    best_metrics = None
     for epoch in range(args.n_epoch):
         losses = trainer.train_epoch(epoch)
         metrics_logger.scalars("train", losses,
@@ -186,8 +192,9 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
             use_desc_type=args.dset_name == "tvr")
         stop_score = metrics["VCMR"]["0.5-r1"] + metrics["VCMR"]["0.7-r1"]
         logger.info("epoch %d VCMR %s", epoch, json.dumps(metrics["VCMR"]))
-        if stop_score > prev_best:
-            prev_best, es_cnt, best_metrics = stop_score, 0, metrics
+        is_best, should_stop = stopper.update(stop_score)
+        if is_best:
+            best_metrics = metrics
             raw = cal_retrieve(model, trainer.variables(), builder, cache,
                                corpus, eval_rows, tasks=("VCMR", "SVMR"),
                                query_bsz=args.eval_query_bsz,
@@ -200,11 +207,9 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
                       pretty=True)
             save_checkpoint(os.path.join(results_dir, "ckpt"), trainer.params,
                             trainer.opt_state, cfg, epoch)
-        else:
-            es_cnt += 1
-            if args.max_es_cnt != -1 and es_cnt > args.max_es_cnt:
-                logger.info("early stop at epoch %d", epoch)
-                break
+        if should_stop:
+            logger.info("early stop at epoch %d", epoch)
+            break
     metrics_logger.close()
     return {"results_dir": results_dir, "best_metrics": best_metrics}
 

@@ -44,6 +44,9 @@ def build_arg_parser():
     p.add_argument("--n_epoch", type=int, default=100)
     p.add_argument("--bsz", type=int, default=128)
     p.add_argument("--max_es_cnt", type=int, default=10)
+    p.add_argument("--es_min_delta", type=float, default=0.0,
+                   help="patience resets only when the stop metric improves "
+                        "by MORE than this; 0 = reference behavior")
     p.add_argument("--eval_query_bsz", type=int, default=50)
     p.add_argument("--min_pred_l", type=int, default=2)
     p.add_argument("--max_pred_l", type=int, default=16)
@@ -125,7 +128,10 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
 
     from tvretrieval_tpu.utils.logging import MetricsLogger
     metrics_logger = MetricsLogger(results_dir)
-    prev_best, es_cnt, best_metrics = -1.0, 0, None
+    from tvretrieval_tpu.training.early_stop import EarlyStopper
+    stopper = EarlyStopper(max_es_cnt=args.max_es_cnt,
+                           min_delta=args.es_min_delta, best=-1.0)
+    best_metrics = None
     for epoch in range(args.n_epoch):
         losses = trainer.train_epoch(epoch)
         metrics_logger.scalars("train", losses,
@@ -143,19 +149,18 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
                                  use_desc_type=args.dset_name == "tvr")
         stop_score = metrics["SVMR"]["0.5-r1"] + metrics["SVMR"]["0.7-r1"]
         logger.info("epoch %d SVMR %s", epoch, json.dumps(metrics["SVMR"]))
-        if stop_score > prev_best:
-            prev_best, es_cnt, best_metrics = stop_score, 0, metrics
+        is_best, should_stop = stopper.update(stop_score)
+        if is_best:
+            best_metrics = metrics
             save_json(submission, os.path.join(results_dir, "best_predictions.json"))
             save_json(metrics,
                       os.path.join(results_dir, "best_predictions_metrics.json"),
                       pretty=True)
             save_checkpoint(os.path.join(results_dir, "ckpt"), trainer.params,
                             trainer.opt_state, cfg, epoch)
-        else:
-            es_cnt += 1
-            if args.max_es_cnt != -1 and es_cnt > args.max_es_cnt:
-                logger.info("early stop at epoch %d", epoch)
-                break
+        if should_stop:
+            logger.info("early stop at epoch %d", epoch)
+            break
 
     # optional VCMR via external VR results (reference inference_with_vcmr.py)
     if eval_rows and args.external_inference_vr_res_path:

@@ -44,6 +44,9 @@ def build_arg_parser():
     p.add_argument("--n_epoch", type=int, default=50)
     p.add_argument("--bsz", type=int, default=128)
     p.add_argument("--max_es_cnt", type=int, default=10)
+    p.add_argument("--es_min_delta", type=float, default=0.0,
+                   help="patience resets only when the stop metric improves "
+                        "by MORE than this; 0 = reference behavior")
     p.add_argument("--eval_query_bsz", type=int, default=1000)
     p.add_argument("--eval_ctx_bsz", type=int, default=200)
     return p
@@ -123,7 +126,10 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     from tvretrieval_tpu.training.checkpoint import save_checkpoint
     from tvretrieval_tpu.utils.logging import MetricsLogger
     metrics_logger = MetricsLogger(results_dir)
-    prev_best, es_cnt, best_metrics = -1.0, 0, None
+    from tvretrieval_tpu.training.early_stop import EarlyStopper
+    stopper = EarlyStopper(max_es_cnt=args.max_es_cnt,
+                           min_delta=args.es_min_delta, best=-1.0)
+    best_metrics = None
     for epoch in range(args.n_epoch):
         losses = trainer.train_epoch(epoch)
         metrics_logger.scalars("train", losses,
@@ -142,8 +148,9 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
             use_desc_type=args.dset_name == "tvr")
         stop_score = metrics["VR"]["r1"] + metrics["VR"]["r5"]
         logger.info("epoch %d VR %s", epoch, json.dumps(metrics["VR"]))
-        if stop_score > prev_best:
-            prev_best, es_cnt, best_metrics = stop_score, 0, metrics
+        is_best, should_stop = stopper.update(stop_score)
+        if is_best:
+            best_metrics = metrics
             vid_idx, scores = arrays["VR"]
             submission = {"video2idx": corpus.video2idx, "VR": [
                 {"desc_id": r["desc_id"], "desc": r.get("desc", ""),
@@ -159,11 +166,9 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
             # checkpoint the FULL variables (params + BatchNorm running stats)
             save_checkpoint(os.path.join(results_dir, "ckpt"),
                             trainer.variables(), trainer.opt_state, cfg, epoch)
-        else:
-            es_cnt += 1
-            if args.max_es_cnt != -1 and es_cnt > args.max_es_cnt:
-                logger.info("early stop at epoch %d", epoch)
-                break
+        if should_stop:
+            logger.info("early stop at epoch %d", epoch)
+            break
     metrics_logger.close()
     return {"results_dir": results_dir, "best_metrics": best_metrics}
 

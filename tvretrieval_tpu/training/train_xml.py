@@ -118,6 +118,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_epoch", type=int, default=100)
     p.add_argument("--bsz", type=int, default=128)
     p.add_argument("--max_es_cnt", type=int, default=10)
+    p.add_argument("--es_min_delta", type=float, default=0.0,
+                   help="early-stop patience resets only when the stop "
+                        "metric improves by MORE than this (best checkpoint "
+                        "still tracks any improvement); 0 = reference "
+                        "behavior (train.py:211-236)")
     p.add_argument("--lw_st_ed", type=float, default=0.01)
     p.add_argument("--lw_neg_q", type=float, default=1.0)
     p.add_argument("--lw_neg_ctx", type=float, default=1.0)
@@ -443,8 +448,9 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
     metrics_logger = MetricsLogger(results_dir)
     train_log = open(os.path.join(results_dir, "train.log.txt"), "a")
     eval_log = open(os.path.join(results_dir, "eval.log.txt"), "a")
-    prev_best = -1.0
-    es_cnt = 0
+    from tvretrieval_tpu.training.early_stop import EarlyStopper
+    stopper = EarlyStopper(max_es_cnt=args.max_es_cnt,
+                           min_delta=args.es_min_delta, best=-1.0)
     best_metrics = None
     ckpt_dir = os.path.join(results_dir, "ckpt")
 
@@ -525,11 +531,10 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
         stop_names = ["r1"] if args.stop_task == "VR" else ["0.5-r1", "0.7-r1"]
         stop_score = sum(metrics[args.stop_task][k] for k in stop_names)
         logger.info("epoch %d eval %s stop_score=%.3f (best %.3f)",
-                    epoch, args.stop_task, stop_score, prev_best)
+                    epoch, args.stop_task, stop_score, stopper.best)
 
-        if stop_score > prev_best:
-            prev_best = stop_score
-            es_cnt = 0
+        is_best, should_stop = stopper.update(stop_score)
+        if is_best:
             best_metrics = metrics
             save_checkpoint(ckpt_dir, trainer.params, trainer.opt_state,
                             model_cfg, epoch)
@@ -542,11 +547,9 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
                           os.path.join(results_dir, "best_predictions.json"))
                 save_json(metrics, os.path.join(
                     results_dir, "best_predictions_metrics.json"), pretty=True)
-        else:
-            es_cnt += 1
-            if args.max_es_cnt != -1 and es_cnt > args.max_es_cnt:
-                logger.info("early stop at epoch %d", epoch)
-                break
+        if should_stop:
+            logger.info("early stop at epoch %d", epoch)
+            break
 
     train_log.close()
     eval_log.close()
