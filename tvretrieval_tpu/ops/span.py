@@ -260,23 +260,21 @@ def banded_topk_spans_grouped(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
     g_vid = gidx // L
     g_st = gidx % L
 
-    # --- 3. expand candidate groups: W spans each. Group (v, st)'s ed
-    # window ed[v, st+min_l : st+max_l] is CONTIGUOUS in the flat (V*L,)
-    # layout, so it is gathered as G width-W dynamic slices directly from
-    # ed_probs — no (Nq, V, L, W) band tensor is ever materialized (that
-    # write/read was the dominant cost of this op at corpus scale). A
-    # max_l-zero tail pad keeps every slice in bounds (XLA clamps
-    # out-of-bounds dynamic_slice STARTS, which would shift end-of-corpus
-    # windows); positions past a video's length read the pad or the next
-    # video's head and are zeroed by valid_g exactly like the band path's
-    # invalid-end zeros, so outputs stay bit-equal.
+    # --- 3. expand candidate groups: W spans each. The ed windows are
+    # gathered as CONTIGUOUS (1, W) rows of the statically-banded ed tensor.
+    # Measured alternatives that avoid materializing the (Nq, V, L, W) band
+    # (scripts/measure_grouped_expansion.py, v5e, Nq=400): per-group
+    # dynamic-slice windows 77.1 ms and a flat element take_along_axis
+    # 18.5 ms vs 11.3 ms for this path — dynamic indexing on the minor dim
+    # degrades to element gathers on TPU, while the band build is dense
+    # sequential traffic XLA fuses well (all three bit-equal).
     take2 = lambda x, i: jnp.take_along_axis(x.reshape(nq, v * L), i, axis=1)
     st_g = take2(st_probs, gidx)                                 # (Nq, G)
     vs_g = jnp.take_along_axis(video_scores, g_vid, axis=1)
-    ed_flat = jnp.pad(ed_probs.reshape(nq, v * L), ((0, 0), (0, max_l)))
-    win = lambda row, s: jax.lax.dynamic_slice(row, (s,), (W,))
-    ed_g = jax.vmap(lambda row, ss: jax.vmap(lambda s: win(row, s))(ss))(
-        ed_flat, gidx + min_l)                                   # (Nq, G, W)
+    idx_np, valid_np, _ = _band_indices(L, min_l, max_l)
+    ed_band = ed_probs[:, :, jnp.asarray(idx_np)]                # (Nq, V, L, W)
+    ed_g = jnp.take_along_axis(
+        ed_band.reshape(nq, v * L, W), gidx[:, :, None], axis=1)  # (Nq, G, W)
     valid_g = ((g_st[:, :, None] + min_l + jnp.arange(W)[None, None]) < L
                ).astype(st_probs.dtype)
     vals = ((st_g[:, :, None] * ed_g) * vs_g[:, :, None]) * valid_g
