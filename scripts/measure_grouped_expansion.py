@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tvretrieval_tpu.ops.span import (
-    _band_indices, banded_topk_spans_grouped, topk_stable_blocked)
+    _band_indices, banded_topk_spans_grouped, banded_topk_spans_grouped_shift,
+    topk_stable_blocked)
 
 
 @partial(jax.jit, static_argnames=("min_l", "max_l", "top_n"))
@@ -139,14 +140,20 @@ def main():
     for name, a, b in zip(("vid", "st", "ed", "scores"), new, flat):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg="flat_take " + name)
+    shift = banded_topk_spans_grouped_shift(*args)
+    for name, a, b in zip(("vid", "st", "ed", "scores"), new, shift):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg="shift " + name)
 
     t_old = time_fn(grouped_band_expand, args)
     t_new = time_fn(banded_topk_spans_grouped, args)
     t_flat = time_fn(grouped_flat_take, args)
+    t_shift = time_fn(banded_topk_spans_grouped_shift, args)
     print(f"nq={nq} V={V} L={L} W={max_l-min_l} top_n={top_n}")
     print(f"band materialize + row gather:       {t_old:.2f} ms")
     print(f"package banded_topk_spans_grouped:   {t_new:.2f} ms")
     print(f"flat element take_along_axis:        {t_flat:.2f} ms")
+    print(f"row gather + one-hot W-shift:        {t_shift:.2f} ms")
 
 
 if __name__ == "__main__":

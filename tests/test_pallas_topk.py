@@ -56,13 +56,19 @@ def test_pallas_matches_xla_exactly(nq, V, L, min_l, max_l, top_n, kw):
     (4, 12, 24, 1, 24, 37, {}),      # W == L (window covers whole axis)
 ])
 def test_grouped_matches_flat_exactly(nq, V, L, min_l, max_l, top_n, kw):
-    from tvretrieval_tpu.ops.span import banded_topk_spans_grouped
+    from tvretrieval_tpu.ops.span import (banded_topk_spans_grouped,
+                                          banded_topk_spans_grouped_shift)
     st, ed, vs = _case(nq, V, L, seed=nq * 37 + V, **kw)
     ref = banded_topk_spans(st, ed, vs, min_l, max_l, top_n)
     got = banded_topk_spans_grouped(st, ed, vs, min_l, max_l, top_n)
     for name, r, g in zip(("vid", "st", "ed", "scores"), ref, got):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r),
                                       err_msg=name)
+    # shift-reduction expansion variant: same bit-for-bit contract
+    got_s = banded_topk_spans_grouped_shift(st, ed, vs, min_l, max_l, top_n)
+    for name, r, g in zip(("vid", "st", "ed", "scores"), ref, got_s):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r),
+                                      err_msg="shift " + name)
 
 
 @pytest.mark.parametrize("n,k,block,mode", [

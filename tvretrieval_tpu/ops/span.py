@@ -298,6 +298,79 @@ def banded_topk_spans_grouped(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("min_l", "max_l", "top_n"))
+def banded_topk_spans_grouped_shift(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
+                                    video_scores: jnp.ndarray, min_l: int,
+                                    max_l: int, top_n: int):
+    """banded_topk_spans_grouped with a SHIFT-REDUCTION candidate expansion.
+
+    Stages 1-2 (group max via window max of ed, stable top-k group select)
+    are identical to banded_topk_spans_grouped. The expansion differs: the
+    band tensor (Nq, V, L, W) — 4.5 GB f32 at Nq=800 corpus scale — is
+    never built. Instead the selected groups' ed ROWS are row-gathered
+    ((Nq, G, L), ~200x smaller) and each band offset w is extracted with a
+    one-hot start mask times a statically-shifted copy of the rows:
+
+        ed_g[q, g, w] = sum_l onehot(l == g_st)[q, g, l]
+                        * shift(ed_rows, -(min_l + w))[q, g, l]
+
+    The one-hot sum adds exactly one f32 value to zeros (0 + x == x in
+    IEEE), so extracted values are bit-equal to the band gather; all
+    downstream products and the stable top_k are unchanged — outputs are
+    bit-for-bit equal to banded_topk_spans_grouped / banded_topk_spans
+    (pinned by tests/test_span_ops.py).
+    """
+    nq, v, L = st_probs.shape
+    W = max_l - min_l
+
+    rw = jax.lax.reduce_window(
+        ed_probs, 0.0, jax.lax.max, (1, 1, W), (1, 1, 1),
+        padding=((0, 0), (0, 0), (0, W - 1)))
+    wmax = jnp.pad(rw, ((0, 0), (0, 0), (0, min_l)))[..., min_l:]
+    gmax = (st_probs * wmax) * video_scores[:, :, None]          # (Nq, V, L)
+
+    k_groups = min(top_n, v * L)
+    _, gidx = topk_stable_blocked(gmax.reshape(nq, v * L), k_groups)  # (Nq, G)
+    gidx = jax.lax.sort(gidx, dimension=1)
+    g_vid = gidx // L
+    g_st = gidx % L
+
+    take2 = lambda x, i: jnp.take_along_axis(x.reshape(nq, v * L), i, axis=1)
+    st_g = take2(st_probs, gidx)                                 # (Nq, G)
+    vs_g = jnp.take_along_axis(video_scores, g_vid, axis=1)
+
+    # selected groups' ed rows: (Nq, G, L) row gather, then W shifted
+    # one-hot reductions in place of the (Nq, V, L, W) band build
+    ed_rows = jnp.take_along_axis(ed_probs, g_vid[:, :, None], axis=1)
+    onehot = (jnp.arange(L, dtype=jnp.int32)[None, None]
+              == g_st[:, :, None]).astype(ed_rows.dtype)         # (Nq, G, L)
+    # zero-pad so shifts past L read exact zeros (the flat path's
+    # invalid-end zeros come from the same positions being masked below)
+    ed_padded = jnp.pad(ed_rows, ((0, 0), (0, 0), (0, max_l)))
+    ed_g = jnp.stack(
+        [(onehot * jax.lax.dynamic_slice_in_dim(ed_padded, min_l + w, L,
+                                                axis=2)).sum(axis=2)
+         for w in range(W)], axis=-1)                            # (Nq, G, W)
+    valid_g = ((g_st[:, :, None] + min_l + jnp.arange(W)[None, None]) < L
+               ).astype(st_probs.dtype)
+    vals = ((st_g[:, :, None] * ed_g) * vs_g[:, :, None]) * valid_g
+    canon = gidx[:, :, None] * W + jnp.arange(W)[None, None]
+
+    pool = vals.reshape(nq, -1)
+    k = min(top_n, pool.shape[1])
+    scores, pos = jax.lax.top_k(pool, k)
+    flat = jnp.take_along_axis(canon.reshape(nq, -1), pos, axis=1)
+    if k < top_n:
+        scores = jnp.pad(scores, ((0, 0), (0, top_n - k)))
+        flat = jnp.pad(flat, ((0, 0), (0, top_n - k)))
+    vid = flat // (L * W)
+    rem = flat % (L * W)
+    m = rem // W
+    n = m + min_l + rem % W
+    return (vid.astype(jnp.int32), m.astype(jnp.int32),
+            n.astype(jnp.int32), scores)
+
+
+@partial(jax.jit, static_argnames=("min_l", "max_l", "top_n"))
 def banded_top_spans_from_probs(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
                                 min_l: int, max_l: int, top_n: int):
     """Banded single-video variant of top_spans_from_probs: (N, L) probs."""

@@ -65,6 +65,12 @@ class RetrievalConfig:
     #   "pallas": fused streaming kernel (ops/pallas_score.py), writes only
     #             the (Nq, Nv) scores; exactness-tested vs "einsum"
     video_score_mode: str = "einsum"
+    # VCMR span top-k candidate expansion (both bit-equal to the flat
+    # banded top-k; see ops/span.py):
+    #   "grouped":       band-materializing expansion ((Nq, V, L, W) tensor)
+    #   "grouped_shift": row gather + one-hot W-shift reduction (~200x less
+    #                    expansion traffic at corpus scale)
+    span_topk_mode: str = "grouped"
 
     @property
     def cache_dtype(self):
@@ -349,7 +355,12 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
     # hold top spans; only those expand and sort. Bit-equal to the flat
     # banded top-k (ops/span.py) and 3.7x faster on v5e (14.1 -> 3.8 ms at
     # corpus scale; the Pallas streaming-sort kernel measured 21.7 ms).
-    vcmr_vid_local, vcmr_st, vcmr_ed, vcmr_scores = banded_topk_spans_grouped(
+    if getattr(cfg, "span_topk_mode", "grouped") == "grouped_shift":
+        from tvretrieval_tpu.ops.span import banded_topk_spans_grouped_shift
+        span_topk = banded_topk_spans_grouped_shift
+    else:
+        span_topk = banded_topk_spans_grouped
+    vcmr_vid_local, vcmr_st, vcmr_ed, vcmr_scores = span_topk(
         st_top, ed_top, topv_scores, cfg.min_pred_l, cfg.max_pred_l,
         cfg.max_before_nms)
 
