@@ -62,11 +62,14 @@ def main() -> None:
     #   gather); video ranking bit-equal to the reference-faithful gather
     #   path, span scores equal up to f32 accumulation order
     #   (tests/test_span_score_modes.py)
-    # - pallas video scores: ops/pallas_score.py streaming kernel (bit-exact
-    #   vs the einsum path on-chip at this scale)
+    # - pallas video scores: ops/pallas_score.py flat-cache kernel (one
+    #   large MXU dot per stream per tile; bit-exact vs the einsum path)
+    # - grouped_shift span top-k: shift-reduction expansion (bit-exact,
+    #   no (Nq, V, L, W) band tensor)
     rcfg = RetrievalConfig(cache_dtype_str="bfloat16",
                            span_score_mode="simsweep_cat",
-                           video_score_mode="pallas")
+                           video_score_mode="pallas",
+                           span_topk_mode="grouped_shift")
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
@@ -95,8 +98,12 @@ def main() -> None:
     feat2_cat = jnp.concatenate(
         [jax.random.normal(ks[4], shape, dtype=dt),
          jax.random.normal(ks[6], shape, dtype=dt)], axis=-1)
-    cache = [normed(ks[3]), None, normed(ks[5]), None]
     mask = jnp.ones((N_VIDEOS, N_CLIPS), jnp.float32)
+    # feat1 streams in the video-major flat mask-free layout consumed by
+    # the pallas video-score kernel (what encode_corpus builds)
+    from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
+    cache = [build_flat_feat1(normed(ks[3]), mask), None,
+             build_flat_feat1(normed(ks[5]), mask), None]
 
     q_feat = jax.random.normal(ks[7], (QUERY_BSZ, 30, 768), jnp.float32)
     q_mask = jnp.ones((QUERY_BSZ, 30), jnp.float32)

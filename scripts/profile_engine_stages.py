@@ -7,7 +7,13 @@ materialization that the fused program may avoid, so the per-stage sum is
 an UPPER bound on the fused total — compare against the fused program
 timing printed last.
 
-Usage: python scripts/profile_engine_stages.py [query_bsz=400]
+NOTE: every stage jit takes the corpus caches as ARGUMENTS. Closing over
+them captures 2.2GB of constants into the lowered program, and shipping
+that through this environment's remote-compile relay reliably kills the
+connection (broken pipe ~20 min in).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site \
+           python scripts/profile_engine_stages.py [query_bsz=400]
 """
 import os
 import sys
@@ -42,8 +48,11 @@ def main():
     qbsz = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     from tvretrieval_tpu.models.xml import XML, XMLConfig
     from tvretrieval_tpu.ops.masking import mask_logits
-    from tvretrieval_tpu.ops.pallas_score import video_scores_pallas
-    from tvretrieval_tpu.ops.span import banded_topk_spans_grouped, topk_stable_blocked
+    from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
+                                                  video_scores_pallas_flat)
+    from tvretrieval_tpu.ops.span import (banded_topk_spans_grouped,
+                                          banded_topk_spans_grouped_shift,
+                                          topk_stable_blocked)
     from tvretrieval_tpu.retrieval.engine import RetrievalConfig, _score_query_batch
 
     cfg = XMLConfig(ctx_mode="video_sub", visual_input_size=3074,
@@ -55,6 +64,7 @@ def main():
     # back to the einsum video-score mode there
     rcfg = RetrievalConfig(cache_dtype_str="bfloat16",
                            span_score_mode="simsweep_cat",
+                           span_topk_mode="grouped_shift",
                            video_score_mode=("einsum"
                                              if os.environ.get("PROFILE_CPU")
                                              else "pallas"))
@@ -80,7 +90,7 @@ def main():
     gt = jnp.zeros((qbsz,), jnp.int32)
     V = rcfg.max_vcmr_video
 
-    # --- stage jits
+    # --- stage jits (big arrays are ARGUMENTS, never captured constants)
     @jax.jit
     def s_encode_q(vars_, qf, qm):
         return model.apply(vars_, qf, qm, method=XML.encode_query)
@@ -91,13 +101,17 @@ def main():
 
     interp = bool(os.environ.get("PROFILE_CPU"))
 
-    @jax.jit
-    def s_vscore_pallas(vq, sq):
-        return video_scores_pallas(normq(vq, vf1), normq(sq, sf1),
-                                   vf1, sf1, mask, interpret=interp)
+    vf1_flat = build_flat_feat1(vf1, mask)
+    sf1_flat = build_flat_feat1(sf1, mask)
 
     @jax.jit
-    def s_vscore_einsum(vq, sq):
+    def s_vscore_pallas(vq, sq, vf1_flat, sf1_flat):
+        return video_scores_pallas_flat(
+            normq(vq, vf1_flat).T, normq(sq, sf1_flat).T,
+            vf1_flat, sf1_flat, n_videos=N_VIDEOS, interpret=interp)
+
+    @jax.jit
+    def s_vscore_einsum(vq, sq, vf1, sf1, mask):
         def one(q, feat1_n):
             qn = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
             s = jnp.einsum("md,nld->mln", qn.astype(feat1_n.dtype), feat1_n,
@@ -105,7 +119,7 @@ def main():
             return mask_logits(s, mask.T[None]).max(axis=1)
         return (one(vq, vf1) + one(sq, sf1)) / 2
 
-    q2c = s_vscore_pallas(vq, sq)
+    q2c = s_vscore_pallas(vq, sq, vf1_flat, sf1_flat)
 
     @jax.jit
     def s_topv(q2c):
@@ -115,14 +129,15 @@ def main():
     gather_idx = jnp.concatenate([topv_idx, gt[:, None]], axis=1)
 
     @jax.jit
-    def s_span_sim(vq, sq, gather_idx):
-        st_l, ed_l = model.apply(variables, vq, sq, feat2_cat, mask, gather_idx,
+    def s_span_sim(vars_, vq, sq, feat2_cat, mask, gather_idx):
+        st_l, ed_l = model.apply(vars_, vq, sq, feat2_cat, mask, gather_idx,
                                  method=XML.merged_st_ed_scores_simgather_cat)
         st = jax.nn.softmax(st_l.astype(jnp.float32), axis=-1)
         ed = jax.nn.softmax(ed_l.astype(jnp.float32), axis=-1)
         return st, ed
 
-    st_probs, ed_probs = s_span_sim(vq, sq, gather_idx)
+    st_probs, ed_probs = s_span_sim(variables, vq, sq, feat2_cat, mask,
+                                    gather_idx)
 
     @jax.jit
     def s_topk_spans(st_probs, ed_probs, topv_scores):
@@ -130,25 +145,37 @@ def main():
             st_probs[:, :V], ed_probs[:, :V], topv_scores,
             rcfg.min_pred_l, rcfg.max_pred_l, rcfg.max_before_nms)
 
+    @jax.jit
+    def s_topk_spans_shift(st_probs, ed_probs, topv_scores):
+        return banded_topk_spans_grouped_shift(
+            st_probs[:, :V], ed_probs[:, :V], topv_scores,
+            rcfg.min_pred_l, rcfg.max_pred_l, rcfg.max_before_nms)
+
     stages = {
         "encode_query": lambda: s_encode_q(variables, q_feat, q_mask),
-        "video_score_pallas": lambda: s_vscore_pallas(vq, sq),
-        "video_score_einsum": lambda: s_vscore_einsum(vq, sq),
+        "video_score_pallas": lambda: s_vscore_pallas(vq, sq, vf1_flat,
+                                              sf1_flat),
+        "video_score_einsum": lambda: s_vscore_einsum(vq, sq, vf1, sf1, mask),
         "video_topk": lambda: s_topv(q2c),
-        "span_sim_gather_conv_softmax": lambda: s_span_sim(vq, sq, gather_idx),
+        "span_sim_gather_conv_softmax": lambda: s_span_sim(
+            variables, vq, sq, feat2_cat, mask, gather_idx),
         "grouped_topk_spans": lambda: s_topk_spans(st_probs, ed_probs,
                                                    topv_scores),
+        "grouped_topk_spans_shift": lambda: s_topk_spans_shift(
+            st_probs, ed_probs, topv_scores),
     }
     total_modeled = 0.0
     for name, fn in stages.items():
         ms = time_stage(fn)
-        if name != "video_score_einsum":
+        if name not in ("video_score_einsum", "grouped_topk_spans_shift"):
             total_modeled += ms
-        print(f"{name:32s} {ms:8.2f} ms")
+        print(f"{name:32s} {ms:8.2f} ms", flush=True)
     print(f"{'sum (pallas path, upper bound)':32s} {total_modeled:8.2f} ms")
 
     fused = lambda: _score_query_batch(
-        model, variables, rcfg, q_feat, q_mask, vf1, None, sf1, None,
+        model, variables, rcfg, q_feat, q_mask,
+        vf1_flat if rcfg.video_score_mode == "pallas" else vf1, None,
+        sf1_flat if rcfg.video_score_mode == "pallas" else sf1, None,
         mask, gt, True, feat2_cat=feat2_cat)
     ms = time_stage(fused)
     print(f"{'fused _score_query_batch':32s} {ms:8.2f} ms  "

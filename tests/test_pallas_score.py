@@ -47,3 +47,28 @@ def test_all_masked_video_scores_neg_inf():
     out = video_scores_pallas(qv, qs, fv, fs, mask, chunk_v=8, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     assert np.all(np.asarray(out)[:, 5] == -1e10)
+
+
+@pytest.mark.parametrize("nq,nv,l,d,lp,chunk_v", [
+    (6, 37, 12, 16, 16, 8),    # Nv padded up to a chunk_v multiple
+    (4, 64, 20, 32, 24, 16),
+    (3, 16, 7, 8, 8, 4),       # lp == 8 minimum
+])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_flat_kernel_matches_xla(nq, nv, l, d, lp, chunk_v, dtype):
+    """The v2 flat mask-free kernel (one big dot per stream per tile,
+    masked/pad rows duplicated from clip 0) is bit-equal to the einsum
+    path — prefix masks with >=1 valid clip per video, the single-chip
+    engine's invariant."""
+    from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
+                                                  video_scores_pallas_flat)
+    qv, qs, fv, fs, mask = _case(nq, nv, l, d, dtype, seed=nq * 7 + nv)
+    ref = video_scores_xla(qv, qs, fv, fs, mask)
+    fvf = build_flat_feat1(fv, mask, lp=lp, chunk_v=chunk_v)
+    fsf = build_flat_feat1(fs, mask, lp=lp, chunk_v=chunk_v)
+    nv_pad = -(-nv // chunk_v) * chunk_v
+    assert fvf.shape == (nv_pad * lp, d) and fvf.dtype == dtype
+    out = video_scores_pallas_flat(qv.T, qs.T, fvf, fsf, nv,
+                                   lp=lp, chunk_v=chunk_v, interpret=True)
+    assert out.shape == (nq, nv)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

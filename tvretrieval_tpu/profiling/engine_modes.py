@@ -8,6 +8,9 @@ Compares, on one chip with the relay-safe fencing from bench.py:
 Run:  python -m tvretrieval_tpu.profiling.engine_modes [--nq 200] [--iters 8]
 Prints one line per mode combination; exactness across combinations is
 asserted on the final span candidates of the first batch.
+
+--modes entries are span/video[/span_topk], e.g.
+  simsweep_cat/pallas/grouped_shift (the bench.py configuration).
 """
 from __future__ import annotations
 
@@ -69,14 +72,24 @@ def main() -> None:
                   ("gather", "simsweep"), ("einsum", "pallas"))])
     feat2_cat = (jnp.concatenate([vf2, sf2], axis=-1)
                  if any(c.startswith("simsweep_cat") for c in combos) else None)
+    vf1_flat = sf1_flat = None
+    if any(c.split("/")[1] == "pallas" for c in combos):
+        from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
+        vf1_flat = build_flat_feat1(vf1, mask)
+        sf1_flat = build_flat_feat1(sf1, mask)
     ref_spans = None
     for combo in combos:
-        span_mode, vid_mode = combo.split("/")
+        parts = combo.split("/")
+        span_mode, vid_mode = parts[0], parts[1]
+        topk_mode = parts[2] if len(parts) > 2 else "grouped"
         rcfg = dataclasses.replace(base, span_score_mode=span_mode,
-                                   video_score_mode=vid_mode)
+                                   video_score_mode=vid_mode,
+                                   span_topk_mode=topk_mode)
         kw = ({"feat2_cat": feat2_cat} if span_mode == "simsweep_cat" else {})
+        f1v = vf1_flat if vid_mode == "pallas" else vf1
+        f1s = sf1_flat if vid_mode == "pallas" else sf1
         run = lambda: _score_query_batch(model, variables, rcfg, qf, qm,
-                                         vf1, vf2, sf1, sf2, mask, gt, True,
+                                         f1v, vf2, f1s, sf2, mask, gt, True,
                                          **kw)
         t0 = time.time()
         out = run()

@@ -62,8 +62,12 @@ class RetrievalConfig:
     span_score_mode: str = "gather"
     # video-level q2c stage:
     #   "einsum": XLA einsum -> mask -> max (materializes (Nq, L, Nv) f32)
-    #   "pallas": fused streaming kernel (ops/pallas_score.py), writes only
-    #             the (Nq, Nv) scores; exactness-tested vs "einsum"
+    #   "pallas": fused flat-cache kernel (ops/pallas_score.py
+    #             video_scores_pallas_flat): the feat1 slots of the cache
+    #             hold mask-free video-major (Nv_pad * LP, D) flat arrays
+    #             (build_flat_feat1) and each grid step runs ONE large MXU
+    #             dot per stream; bit-equal to "einsum"
+    #             (tests/test_pallas_score.py)
     video_score_mode: str = "einsum"
     # VCMR span top-k candidate expansion (both bit-equal to the flat
     # banded top-k; see ops/span.py):
@@ -92,6 +96,15 @@ class CorpusCache:
     feat2_cat: Optional[jnp.ndarray] = None  # (Nv, L, 2D) [vf2 ; sf2] for
     #                                          span_score_mode="simsweep_cat"
     #                                          (replaces the two streams)
+
+
+def _uses_fast_path(model: XML) -> bool:
+    """True when _score_query_batch takes the fast merged-two-stream branch
+    (the only consumer of the flat pallas feat1 layout); other configs go
+    through get_pred_from_raw_query, which needs (Nv, L, D) feat1."""
+    c = model.cfg
+    return (c.merge_two_stream and c.use_video and c.use_sub
+            and c.span_predictor_type == "conv")
 
 
 def encode_corpus(model: XML, variables, builder: ExampleBuilder,
@@ -165,10 +178,18 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
         # streams, which are dropped — only the cat path consumes feat2)
         feat2_cat = jnp.concatenate([vf2_all, sf2_all], axis=-1)
         vf2_all = sf2_all = None
+    vf1_all, sf1_all, mask_all = cat("vf1"), cat("sf1"), cat("mask")
+    if (cfg.video_score_mode == "pallas" and vf1_all is not None
+            and sf1_all is not None and _uses_fast_path(model)):
+        # flat mask-free layout consumed by video_scores_pallas_flat
+        # (one-time relayout; same HBM +4% length pad)
+        from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
+        vf1_all = build_flat_feat1(vf1_all, mask_all)
+        sf1_all = build_flat_feat1(sf1_all, mask_all)
     return CorpusCache(
-        video_feat1=cat("vf1"), video_feat2=vf2_all,
-        sub_feat1=cat("sf1"), sub_feat2=sf2_all,
-        mask=cat("mask"), n_videos=n,
+        video_feat1=vf1_all, video_feat2=vf2_all,
+        sub_feat1=sf1_all, sub_feat2=sf2_all,
+        mask=mask_all, n_videos=n,
         metas=[{"vid_name": v, "duration": d}
                for v, d in zip(corpus.vid_names, corpus.durations)],
         feat2_cat=feat2_cat,
@@ -236,9 +257,15 @@ def encode_corpus_resident(model: XML, variables, device_data,
             bufs[k] = _write(bufs[k], v, start)
 
     get = bufs.get
+    vf1_all, sf1_all = get("vf1"), get("sf1")
+    if (cfg.video_score_mode == "pallas" and vf1_all is not None
+            and sf1_all is not None and _uses_fast_path(model)):
+        from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
+        vf1_all = build_flat_feat1(vf1_all, bufs["mask"])
+        sf1_all = build_flat_feat1(sf1_all, bufs["mask"])
     return CorpusCache(
-        video_feat1=get("vf1"), video_feat2=get("vf2"),
-        sub_feat1=get("sf1"), sub_feat2=get("sf2"),
+        video_feat1=vf1_all, video_feat2=get("vf2"),
+        sub_feat1=sf1_all, sub_feat2=get("sf2"),
         mask=bufs["mask"], n_videos=nv,
         metas=[{"vid_name": v, "duration": d}
                for v, d in zip(corpus.vid_names, corpus.durations)],
@@ -287,13 +314,16 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
             return mask_logits(s, ctx_mask.T[None]).max(axis=1)
 
         if cfg.video_score_mode == "pallas":
-            from tvretrieval_tpu.ops.pallas_score import video_scores_pallas
+            # feat1 slots carry the FLAT mask-free caches (Nv_pad * LP, D)
+            # built by ops.pallas_score.build_flat_feat1 at cache build;
+            # ctx_mask keeps the true (Nv, L) shape for the span stage
+            from tvretrieval_tpu.ops.pallas_score import video_scores_pallas_flat
             normcast = lambda q, feat: (
                 q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
             ).astype(feat.dtype)
-            q2c = video_scores_pallas(
-                normcast(vq, video_feat1), normcast(sq, sub_feat1),
-                video_feat1, sub_feat1, ctx_mask)
+            q2c = video_scores_pallas_flat(
+                normcast(vq, video_feat1).T, normcast(sq, sub_feat1).T,
+                video_feat1, sub_feat1, n_videos=ctx_mask.shape[0])
         else:
             v_scores = scores_prenormalized(vq, video_feat1)
             s_scores = scores_prenormalized(sq, sub_feat1)
