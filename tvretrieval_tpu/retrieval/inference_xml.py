@@ -26,7 +26,7 @@ EVAL_OVERRIDABLE = (
     "nms_thd", "eval_split_name", "eval_path", "eval_query_bsz",
     "eval_context_bsz", "tasks", "max_pred_l", "min_pred_l",
     "max_before_nms", "max_vcmr_video", "external_inference_vr_res_path",
-    "span_score_mode", "video_score_mode", "eval_cache_dtype",
+    "span_score_mode", "video_score_mode", "span_topk_mode", "eval_cache_dtype",
 )
 
 
@@ -41,6 +41,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["gather", "simsweep", "simsweep_cat"])
     p.add_argument("--video_score_mode", type=str, default=None,
                    choices=["einsum", "pallas"])
+    p.add_argument("--span_topk_mode", type=str, default=None,
+                   choices=["grouped", "grouped_shift"])
     p.add_argument("--eval_cache_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--eval_query_bsz", type=int, default=None)

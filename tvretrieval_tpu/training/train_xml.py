@@ -143,6 +143,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--video_score_mode", type=str, default="einsum",
                    choices=["einsum", "pallas"],
                    help="retrieval-eval video-level scoring path")
+    p.add_argument("--span_topk_mode", type=str, default="grouped",
+                   choices=["grouped", "grouped_shift"],
+                   help="VCMR span top-k expansion (both bit-exact; "
+                        "grouped_shift avoids the (Nq, V, L, W) band "
+                        "tensor — faster and ~4.5 GB less HBM at scale)")
     p.add_argument("--eval_cache_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="corpus-cache dtype for retrieval eval; bfloat16 "
@@ -246,7 +251,8 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
         context_bsz=args.eval_context_bsz, clip_length=args.clip_length,
         cache_dtype_str=getattr(args, "eval_cache_dtype", "float32"),
         span_score_mode=getattr(args, "span_score_mode", "gather"),
-        video_score_mode=getattr(args, "video_score_mode", "einsum"))
+        video_score_mode=getattr(args, "video_score_mode", "einsum"),
+        span_topk_mode=getattr(args, "span_topk_mode", "grouped"))
     # test_public rows carry no GT (no ts/vid_name): generate the submission
     # only, drop SVMR, skip metrics (reference inference.py:494-503)
     has_gt = bool(eval_rows) and "ts" in eval_rows[0]
@@ -317,7 +323,8 @@ def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
         context_bsz=args.eval_context_bsz, clip_length=args.clip_length,
         cache_dtype_str=getattr(args, "eval_cache_dtype", "float32"),
         span_score_mode=getattr(args, "span_score_mode", "gather"),
-        video_score_mode=getattr(args, "video_score_mode", "einsum"))
+        video_score_mode=getattr(args, "video_score_mode", "einsum"),
+        span_topk_mode=getattr(args, "span_topk_mode", "grouped"))
     if device_data is not None:
         cache = encode_corpus_resident(model, variables, device_data,
                                        corpus, rcfg)
