@@ -27,8 +27,8 @@ BASELINE_REF_QPS = 170.0
 N_VIDEOS = 21818
 N_CLIPS = 100
 HIDDEN = 256
-QUERY_BSZ = 800   # cat-sweep saturation (400 -> ~7.3K, 800 -> ~7.8K q/s;
-#                   1600 would overflow HBM with the (Nq, Nv, L) similarity)
+QUERY_BSZ = 1000  # largest batch whose fused program fits one v5e (AOT probe:
+#                   13.9 of 15.75 GiB at 1000; 1200 needs 15.76 — BENCH_NOTES)
 N_WARMUP = 2
 N_ITERS = 10
 
