@@ -118,7 +118,7 @@ def main() -> None:
     def fence(out):
         # real device->host transfer: under the remote-execution relay,
         # block_until_ready returns before the program has finished
-        _ = jax.device_get(out["vcmr_scores"])[0, 0]
+        _ = jax.device_get(out["vcmr_scores"][0, 0])
 
     for _ in range(N_WARMUP):
         fence(run())

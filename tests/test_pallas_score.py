@@ -72,3 +72,34 @@ def test_flat_kernel_matches_xla(nq, nv, l, d, lp, chunk_v, dtype):
                                    lp=lp, chunk_v=chunk_v, interpret=True)
     assert out.shape == (nq, nv)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_flat_kernel_non_prefix_mask_exact():
+    """The first-valid-clip fill makes the flat cache exact for ANY mask
+    with >= 1 valid clip per video, prefix or not."""
+    from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
+                                                  video_scores_pallas_flat)
+    qv, qs, fv, fs, _ = _case(5, 24, 12, 16, jnp.float32, seed=3,
+                              masked_tail=False)
+    rng = np.random.default_rng(11)
+    mask = (rng.random((24, 12)) < 0.5).astype(np.float32)
+    mask[:, 3] = 1.0  # guarantee one valid clip per video (not clip 0)
+    mask[:, 0] = 0.0  # clip 0 masked everywhere: the fill must use argmax
+    mask = jnp.asarray(mask)
+    ref = video_scores_xla(qv, qs, fv, fs, mask)
+    fvf = build_flat_feat1(fv, mask, lp=16, chunk_v=8)
+    fsf = build_flat_feat1(fs, mask, lp=16, chunk_v=8)
+    out = video_scores_pallas_flat(qv.T, qs.T, fvf, fsf, 24,
+                                   lp=16, chunk_v=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_flat_cache_rejects_fully_masked_video():
+    """A video with zero valid clips scores -1e10 on the mask path but
+    cannot be represented mask-free — the builder must refuse it."""
+    from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
+    _, _, fv, _, mask = _case(3, 16, 8, 8, jnp.float32, seed=5,
+                              masked_tail=False)
+    mask = mask.at[4].set(0.0)
+    with pytest.raises(ValueError, match="no valid clip"):
+        build_flat_feat1(fv, mask, lp=8, chunk_v=8)

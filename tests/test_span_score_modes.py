@@ -105,6 +105,58 @@ def test_simsweep_cat_matches_gather(setup):
                                rtol=2e-5, atol=1e-8)
 
 
+def test_pallas_flat_cache_engine_matches_einsum(setup):
+    """ENGINE-LEVEL contract for video_score_mode='pallas': encode_corpus
+    builds the flat mask-free feat1 layout and _score_query_batch consumes
+    it through the kernel (interpret mode on CPU) — every output must be
+    bit-equal to the einsum path (the kernel is bit-exact, so the whole
+    program is)."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos, "gather")
+
+    pcfg = dataclasses.replace(rcfg, video_score_mode="pallas",
+                               pallas_interpret=True)
+    pcache = encode_corpus(model, variables, builder, world.corpus, pcfg)
+    # encode_corpus flattened the feat1 slots (video-major, 8-aligned rows)
+    from tvretrieval_tpu.ops.pallas_score import flat_lp
+    lp = flat_lp(cache.mask.shape[1])
+    assert pcache.video_feat1.ndim == 2
+    assert pcache.video_feat1.shape[0] % lp == 0
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    out = _score_query_batch(model, variables, pcfg, qf, qm,
+                             pcache.video_feat1, pcache.video_feat2,
+                             pcache.sub_feat1, pcache.sub_feat2,
+                             pcache.mask, gt, True)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    for k in ref:
+        np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+
+    # flat caches are rejected by the streaming / sharded front-ends
+    from tvretrieval_tpu.retrieval.streaming import host_cache_from_device
+    with pytest.raises(ValueError, match="FLAT"):
+        host_cache_from_device(pcache)
+
+
+def test_grouped_shift_engine_matches_grouped(setup):
+    """ENGINE-LEVEL contract for span_topk_mode='grouped_shift': the full
+    program output is bit-equal to the default grouped expansion."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos, "gather")
+    scfg = dataclasses.replace(rcfg, span_topk_mode="grouped_shift")
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    out = _score_query_batch(model, variables, scfg, qf, qm,
+                             cache.video_feat1, cache.video_feat2,
+                             cache.sub_feat1, cache.sub_feat2,
+                             cache.mask, gt, True)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    for k in ref:
+        np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+
+
 def test_sharded_simsweep_matches_single_device(setup):
     """The sharded engine's simsweep mode must match the single-device
     gather-mode engine (same contract as test_sharded_retrieval)."""

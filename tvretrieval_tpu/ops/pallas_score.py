@@ -112,6 +112,13 @@ def _score_kernel_flat(qvt_ref, qst_ref, fv_ref, fs_ref, out_ref, *,
     out_ref[...] = (mv + ms) / 2
 
 
+def flat_lp(L: int) -> int:
+    """Row count per video in the flat cache: L rounded up to a multiple
+    of 8 (the sublane tile), so the kernel's (chunk_v*lp, Nq) ->
+    (chunk_v, lp, Nq) reshape is a free tiled view for any max_ctx_l."""
+    return -(-L // 8) * 8
+
+
 @functools.partial(jax.jit, static_argnames=("n_videos", "lp", "chunk_v",
                                              "interpret"))
 def video_scores_pallas_flat(qvt, qst, fv_flat, fs_flat, n_videos: int,
@@ -124,10 +131,12 @@ def video_scores_pallas_flat(qvt, qst, fv_flat, fs_flat, n_videos: int,
             cast to the cache dtype.
         fv_flat/fs_flat: (Nv_pad * lp, D) video-major flat caches from
             :func:`build_flat_feat1` — masked / length-pad rows hold a COPY
-            of each video's clip-0 features (a duplicate row can never
-            change the per-video max), pad videos replicate the last real
-            video (sliced off below).
+            of a valid clip's features (a duplicate row can never change
+            the per-video max), pad videos replicate the last real video
+            (sliced off below).
         n_videos: true video count (Nv_pad = fv_flat.shape[0] // lp).
+        lp: rows per video — must equal the ``flat_lp(L)`` used at cache
+            build (the engine passes ``flat_lp(ctx_mask.shape[1])``).
     Returns:
         (Nq, n_videos) f32 q2c scores — bit-equal to the einsum/mask path
         (tests/test_pallas_score.py).
@@ -157,26 +166,52 @@ def video_scores_pallas_flat(qvt, qst, fv_flat, fs_flat, n_videos: int,
 
 
 @functools.partial(jax.jit, static_argnames=("lp", "chunk_v"))
-def build_flat_feat1(feat1, mask, lp: int = 104, chunk_v: int = 16):
-    """(Nv, L, D) feat1 + (Nv, L) mask -> mask-free (Nv_pad * lp, D) flat
-    cache for :func:`video_scores_pallas_flat` (one-time, at cache build).
-
-    Masked clips and the L -> lp length pad are filled with the video's
-    clip-0 row (clip 0 is always valid: masks are length prefixes), so the
-    kernel's per-video max needs no mask; extra videos up to a chunk_v
-    multiple replicate the last real video and are sliced off the output.
-    """
+def _build_flat_feat1(feat1, mask, lp: int, chunk_v: int):
     nv, L, d = feat1.shape
-    assert lp % 8 == 0 and lp >= L
-    fixed = jnp.where(mask[:, :, None] > 0, feat1, feat1[:, :1, :])
+    # fill masked clips and the L -> lp pad with each video's FIRST VALID
+    # clip row (argmax of the mask gives the first 1) — exact for any mask
+    # with >= 1 valid clip, prefix or not: a duplicated valid row can never
+    # change the per-video max
+    first_valid = jnp.argmax(mask > 0, axis=1)                   # (Nv,)
+    fill = jnp.take_along_axis(feat1, first_valid[:, None, None], axis=1)
+    fixed = jnp.where(mask[:, :, None] > 0, feat1, fill)
     if lp > L:
-        fill = jnp.broadcast_to(feat1[:, :1, :], (nv, lp - L, d))
-        fixed = jnp.concatenate([fixed, fill.astype(fixed.dtype)], axis=1)
+        pad = jnp.broadcast_to(fill, (nv, lp - L, d)).astype(fixed.dtype)
+        fixed = jnp.concatenate([fixed, pad], axis=1)
     pad_v = (-nv) % chunk_v
     if pad_v:
         fixed = jnp.concatenate(
             [fixed, jnp.broadcast_to(fixed[-1:], (pad_v, lp, d))], axis=0)
     return fixed.reshape((nv + pad_v) * lp, d)
+
+
+def build_flat_feat1(feat1, mask, lp: int | None = None, chunk_v: int = 16,
+                     check: bool = True):
+    """(Nv, L, D) feat1 + (Nv, L) mask -> mask-free (Nv_pad * lp, D) flat
+    cache for :func:`video_scores_pallas_flat` (one-time, at cache build).
+
+    Masked clips and the L -> lp length pad are filled with each video's
+    first VALID clip row, so the kernel's per-video max needs no mask;
+    extra videos up to a chunk_v multiple replicate the last real video
+    and are sliced off the output. lp defaults to ``flat_lp(L)``.
+
+    check=True (one host sync, cache build is one-time) raises if any
+    video has zero valid clips — such a video would score a real cosine
+    max here but -1e10 on the einsum/mask path. Fully-masked rows only
+    arise from video-axis padding, which the single-chip engine never
+    does (the sharded engine pads but uses the einsum path).
+    """
+    nv, L, d = feat1.shape
+    if lp is None:
+        lp = flat_lp(L)
+    if not (lp % 8 == 0 and lp >= L):
+        raise ValueError(f"lp={lp} must be >= L={L} and a multiple of 8")
+    if check and not bool(jnp.all(jnp.max(mask, axis=1) > 0)):
+        raise ValueError(
+            "build_flat_feat1: some video has no valid clip; the mask-free "
+            "flat cache cannot represent its -1e10 score — use "
+            "video_score_mode='einsum' for corpora with fully-masked rows")
+    return _build_flat_feat1(feat1, mask, lp=lp, chunk_v=chunk_v)
 
 
 def video_scores_xla(qv, qs, feat1_v, feat1_s, mask):

@@ -321,7 +321,7 @@ def banded_topk_spans_grouped_shift(st_probs: jnp.ndarray, ed_probs: jnp.ndarray
     IEEE), so extracted values are bit-equal to the band gather; all
     downstream products and the stable top_k are unchanged — outputs are
     bit-for-bit equal to banded_topk_spans_grouped / banded_topk_spans
-    (pinned by tests/test_span_ops.py).
+    (pinned by tests/test_pallas_topk.py::test_grouped_matches_flat_exactly).
     """
     nq, v, L = st_probs.shape
     W = max_l - min_l

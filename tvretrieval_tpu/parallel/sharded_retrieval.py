@@ -44,6 +44,11 @@ from tvretrieval_tpu.ops.span import banded_top_spans_from_probs, banded_topk_sp
 def shard_corpus_cache(cache, mesh: Mesh):
     """device_put the cache tensors with video-axis sharding. The video count
     must be padded to a multiple of the mesh size (pad rows have mask=0)."""
+    if cache.video_feat1 is not None and cache.video_feat1.ndim == 2:
+        raise ValueError(
+            "cache holds the FLAT pallas feat1 layout (built with "
+            "video_score_mode='pallas'); the sharded engine needs the "
+            "(Nv, L, D) layout — encode with video_score_mode='einsum'")
     sh = NamedSharding(mesh, P("data"))
     put = lambda x: None if x is None else jax.device_put(x, sh)
     cache.video_feat1 = put(cache.video_feat1)

@@ -75,6 +75,9 @@ class RetrievalConfig:
     #   "grouped_shift": row gather + one-hot W-shift reduction (~200x less
     #                    expansion traffic at corpus scale)
     span_topk_mode: str = "grouped"
+    # run the Pallas video-score kernel in interpret mode (CPU tests only;
+    # Mosaic does not lower on the CPU backend)
+    pallas_interpret: bool = False
 
     @property
     def cache_dtype(self):
@@ -86,7 +89,11 @@ class CorpusCache:
     """Device-resident encoded corpus (feat1 = retrieval stream, feat2 =
     localization stream; reference compute_context_info, inference.py:32-97)."""
 
-    video_feat1: Optional[jnp.ndarray]   # (Nv, L, D)
+    video_feat1: Optional[jnp.ndarray]   # (Nv, L, D); with
+    #   video_score_mode="pallas" the feat1 slots instead hold the FLAT
+    #   mask-free (Nv_pad * flat_lp(L), D) layout from
+    #   ops.pallas_score.build_flat_feat1 (consumed only by the fast-path
+    #   kernel; streaming/sharded front-ends reject flat caches)
     video_feat2: Optional[jnp.ndarray]
     sub_feat1: Optional[jnp.ndarray]
     sub_feat2: Optional[jnp.ndarray]
@@ -256,10 +263,12 @@ def encode_corpus_resident(model: XML, variables, device_data,
                 bufs[k] = jnp.zeros((nv,) + v.shape[1:], v.dtype)
             bufs[k] = _write(bufs[k], v, start)
 
+    vf1_all, sf1_all = bufs.pop("vf1", None), bufs.pop("sf1", None)
     get = bufs.get
-    vf1_all, sf1_all = get("vf1"), get("sf1")
     if (cfg.video_score_mode == "pallas" and vf1_all is not None
             and sf1_all is not None and _uses_fast_path(model)):
+        # pop + rebind so the (Nv, L, D) source frees as each flat copy
+        # materializes — this path exists to avoid transient cache doubling
         from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
         vf1_all = build_flat_feat1(vf1_all, bufs["mask"])
         sf1_all = build_flat_feat1(sf1_all, bufs["mask"])
@@ -291,9 +300,7 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
     (inference.py:308-374) because conv/softmax are per-row.
     """
     f32 = jnp.float32
-    c = model.cfg
-    fast = c.merge_two_stream and c.use_video and c.use_sub \
-        and c.span_predictor_type == "conv"
+    fast = _uses_fast_path(model)
     up = lambda x: None if x is None else x.astype(f32)
 
     V = cfg.max_vcmr_video
@@ -317,13 +324,16 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
             # feat1 slots carry the FLAT mask-free caches (Nv_pad * LP, D)
             # built by ops.pallas_score.build_flat_feat1 at cache build;
             # ctx_mask keeps the true (Nv, L) shape for the span stage
-            from tvretrieval_tpu.ops.pallas_score import video_scores_pallas_flat
+            from tvretrieval_tpu.ops.pallas_score import (
+                flat_lp, video_scores_pallas_flat)
             normcast = lambda q, feat: (
                 q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
             ).astype(feat.dtype)
             q2c = video_scores_pallas_flat(
                 normcast(vq, video_feat1).T, normcast(sq, sub_feat1).T,
-                video_feat1, sub_feat1, n_videos=ctx_mask.shape[0])
+                video_feat1, sub_feat1, n_videos=ctx_mask.shape[0],
+                lp=flat_lp(ctx_mask.shape[1]),
+                interpret=getattr(cfg, "pallas_interpret", False))
         else:
             v_scores = scores_prenormalized(vq, video_feat1)
             s_scores = scores_prenormalized(sq, sub_feat1)

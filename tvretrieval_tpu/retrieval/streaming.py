@@ -53,6 +53,11 @@ class HostCorpusCache:
 
 def host_cache_from_device(cache) -> HostCorpusCache:
     """Pull an engine CorpusCache into host memory."""
+    if cache.video_feat1 is not None and cache.video_feat1.ndim == 2:
+        raise ValueError(
+            "cache holds the FLAT pallas feat1 layout (built with "
+            "video_score_mode='pallas'); the streaming engine needs the "
+            "(Nv, L, D) layout — encode with video_score_mode='einsum'")
     g = lambda x: np.asarray(x)
     return HostCorpusCache(
         video_feat1=g(cache.video_feat1), video_feat2=g(cache.video_feat2),
