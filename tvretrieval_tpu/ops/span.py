@@ -116,7 +116,13 @@ def topk_stable_blocked(scores: jnp.ndarray, k: int, block: int = 16):
                                bidx[:, :, None], axis=1)     # (Nq, kb, block)
     vals, pos = jax.lax.top_k(pool.reshape(nq, kb * block), k)
     src = jnp.take_along_axis(bidx, pos // block, axis=1) * block + pos % block
-    return vals, src.astype(jnp.int32)
+    # for finite inputs pad (-inf) elements are never selected (n >= k and
+    # every real value > -inf), so this clip is a no-op and bit-equality
+    # with lax.top_k holds; with NaN inputs the cover argument breaks (NaN
+    # block maxima are unordered) and selection is garbage either way —
+    # the clip keeps indices in-range like lax.top_k's, so callers indexing
+    # metadata don't crash on a NaN-poisoned model (seen: CAL distances)
+    return vals, jnp.minimum(src, n - 1).astype(jnp.int32)
 
 
 def _band_indices(L: int, min_l: int, max_l: int):

@@ -84,7 +84,8 @@ def _score_proposals(model: CALWithSub, variables, query_feat, query_mask,
         d = d + dist(mean_s, sq_s)
     d = d / n_streams
     d = d + (1.0 - prop_mask.reshape(-1)[None]) * 1e10            # mask pads
-    neg_top, idx = jax.lax.top_k(-d, topk)
+    from tvretrieval_tpu.ops.span import topk_stable_blocked
+    neg_top, idx = topk_stable_blocked(-d, topk)   # bit-equal to lax.top_k
     return -neg_top, idx, d
 
 

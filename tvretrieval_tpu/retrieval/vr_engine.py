@@ -30,7 +30,10 @@ def _score_queries(model: MEE, variables, query_feat, enc_video, enc_sub,
     pooled = model.apply(variables, query_feat, False, method=MEE.pool_query)
     scores = model.apply(variables, pooled, enc_video, enc_sub, False,
                          method=MEE.scores)                    # (Nq, Nv)
-    top_scores, top_idx = jax.lax.top_k(scores.astype(jnp.float32), topk)
+    # bit-equal to lax.top_k, block-max pruned (ops/span.py; the win grows
+    # with corpus width — the reference's 1M-video MEE ambition)
+    from tvretrieval_tpu.ops.span import topk_stable_blocked
+    top_scores, top_idx = topk_stable_blocked(scores.astype(jnp.float32), topk)
     return top_scores, top_idx
 
 
