@@ -1,24 +1,33 @@
-"""Fused corpus video-scoring Pallas TPU kernel (q2c cosine stage).
+"""Fused corpus video-scoring Pallas TPU kernels (q2c cosine stage).
 
 Reference op being replaced: model_xml.py:436-453 (``get_video_level_scores``:
 einsum("md,nld->mln") -> mask_logits -> max over clips) run against the
 ENTIRE corpus per query batch (inference.py:308-317). The XLA path
-materializes two (Nq, L, Nv) f32 similarity tensors in HBM (1.7 GB at
-Nq=200, Nv=21.8K) plus mask/max passes; this kernel streams the feat1
-caches through VMEM once and writes only the (Nv, Nq) score matrix
-(17 MB) — HBM traffic drops ~4x, to the 2x(Nv, L, D) cache read floor.
+materializes two (Nq, L, Nv) f32 similarity tensors in HBM plus mask/max
+passes; these kernels stream the feat1 caches through VMEM once and write
+only the (Nv, Nq) score matrix.
 
-Per grid step (CHUNK_V videos):
-  * two MXU dots per video: (Nq, D) x (L, D)^T -> (Nq, L) f32 per stream
-  * mask_logits + max over clips (VPU, in VMEM)
-  * average the two streams -> one (Nq,) row of the output
+Two generations live here:
 
-Exactness: the same D-length f32-accumulated dots, the same elementwise
-mask algebra (ops.masking.mask_logits), and max/average are order-exact —
-outputs are expected bit-equal to the XLA einsum path (pinned by
-tests/test_pallas_score.py; tolerance documented there if a backend tiles
-the contraction differently). exp(alpha * q2c) is deliberately left to XLA
-so the kernel introduces no transcendental-implementation difference.
+* ``video_scores_pallas`` (v1, superseded): per grid step, 2 x chunk_v
+  small (Nq, D) x (D, L) dots + in-VMEM mask/max. Measured ~3.5x off the
+  MXU roofline at corpus scale (43 ms at Nq=800) — N=100 under-fills the
+  128-lane MXU and every small dot pays pipeline startup. Kept as the
+  documented design study.
+* ``video_scores_pallas_flat`` (v2, the engine's ``video_score_mode=
+  "pallas"``): consumes a video-major FLAT cache (``build_flat_feat1``)
+  so each step is ONE large (chunk_v*lp, D) x (D, Nq) dot per stream and
+  the per-video max is a free tiled reshape + sublane segment max; the
+  mask disappears at cache build (masked/pad rows duplicate a valid clip
+  row — a duplicate can never change a max). 14.5 ms at Nq=800, at the
+  cache-read + dot roofline.
+
+Exactness: the same D-length f32-accumulated dots and order-exact
+max/average — both kernels are bit-equal to the XLA einsum path (pinned
+by tests/test_pallas_score.py; v2 also verified bit-equal ON CHIP at
+full corpus scale with random prefix masks). exp(alpha * q2c) is
+deliberately left to XLA so the kernels introduce no
+transcendental-implementation difference.
 
 Queries must be pre-normalized and pre-cast to the cache dtype by the
 caller (the engine normalizes once per batch; feat1 is pre-normalized at
