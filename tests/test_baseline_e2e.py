@@ -65,3 +65,16 @@ def test_cal_driver_e2e(tmp_path):
                             "--model_dir", out["results_dir"],
                             "--proposal_cache_path", cache_path])
     assert res2["metrics"]["VCMR"] == res["metrics"]["VCMR"]
+
+    # re-train recipe: warm-start params from the first run's checkpoint
+    # (reference --init_ckpt_path, re_train_cal.sh)
+    out2 = start_training([
+        "--synthetic", "--exp_id", "t2", "--results_root", str(tmp_path),
+        "--n_epoch", "1", "--bsz", "12", "--synthetic_videos", "8",
+        "--synthetic_queries", "36", "--visual_hidden_size", "32",
+        "--output_size", "16", "--lstm_hidden_size", "24",
+        "--max_ctx_l", "24", "--max_desc_l", "20", "--max_moment_clips", "8",
+        "--eval_query_bsz", "9", "--lr", "0.02",
+        "--init_ckpt_path", os.path.join(out["results_dir"], "ckpt"),
+    ])
+    assert out2["best_metrics"] is not None

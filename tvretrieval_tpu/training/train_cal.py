@@ -38,6 +38,11 @@ def build_arg_parser():
     p.add_argument("--video_duration_idx_path", type=str, default=None)
     p.add_argument("--external_train_vr_res_path", type=str, default=None,
                    help="VR submission JSON guiding inter-negative sampling")
+    p.add_argument("--init_ckpt_path", type=str, default=None,
+                   help="warm-start params from a previous run's ckpt dir "
+                        "(reference --init_ckpt_path, re_train_cal.sh:7-16: "
+                        "re-train with MEE-guided negatives from the "
+                        "first-round CAL checkpoint)")
     p.add_argument("--ctx_mode", type=str, default="video_sub_tef")
     p.add_argument("--clip_length", type=float, default=1.5)
     p.add_argument("--max_desc_l", type=int, default=30)
@@ -163,6 +168,18 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
 
     trainer = GenericTrainer(model, tx, build_fn, train_rows, args.bsz,
                              args.seed, loss_apply=loss_apply, rng_names=())
+    if args.init_ckpt_path:
+        import jax
+        from tvretrieval_tpu.parallel.mesh import replicate_sharding
+        from tvretrieval_tpu.training.checkpoint import load_checkpoint
+        init_params, _, _, init_epoch = load_checkpoint(
+            args.init_ckpt_path, target={"params": trainer.params,
+                                         "opt_state": trainer.opt_state})
+        trainer.params = jax.device_put(init_params,
+                                        replicate_sharding(trainer.mesh))
+        logger.info("warm-started params from %s (epoch %d); optimizer "
+                    "state fresh (reference re-train semantics)",
+                    args.init_ckpt_path, init_epoch)
 
     from tvretrieval_tpu.utils.logging import MetricsLogger
     metrics_logger = MetricsLogger(results_dir)
