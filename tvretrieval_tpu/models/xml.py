@@ -86,6 +86,9 @@ class XMLConfig:
     lw_neg_q: float = 1.0
     lw_neg_ctx: float = 1.0
     no_modular: bool = False
+    # dropout applied inside the cross-attention blocks (reference
+    # --cross_att_drop, config.py:147 / train.py:336); None = same as drop
+    cross_att_drop: Optional[float] = None
     initializer_range: float = 0.02
     dtype_str: str = "float32"             # compute dtype ("float32" | "bfloat16")
 
@@ -138,7 +141,8 @@ class XML(nn.Module):
             self.video_encoder1 = self._make_encoder()
             self.video_encoder2 = self._make_encoder()
             if c.cross_att:
-                self.video_cross_att = BertSelfAttention(c.n_heads, c.drop, dt)
+                cad = c.drop if c.cross_att_drop is None else c.cross_att_drop
+                self.video_cross_att = BertSelfAttention(c.n_heads, cad, dt)
                 self.video_cross_ln = nn.LayerNorm(epsilon=1e-5, dtype=dt)
             elif c.encoder_type == "transformer":
                 self.video_encoder3 = self._make_encoder()
@@ -157,7 +161,8 @@ class XML(nn.Module):
             self.sub_encoder1 = self._make_encoder()
             self.sub_encoder2 = self._make_encoder()
             if c.cross_att:
-                self.sub_cross_att = BertSelfAttention(c.n_heads, c.drop, dt)
+                cad = c.drop if c.cross_att_drop is None else c.cross_att_drop
+                self.sub_cross_att = BertSelfAttention(c.n_heads, cad, dt)
                 self.sub_cross_ln = nn.LayerNorm(epsilon=1e-5, dtype=dt)
             elif c.encoder_type == "transformer":
                 self.sub_encoder3 = self._make_encoder()

@@ -98,6 +98,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--conv_kernel_size", type=int, default=5)
     p.add_argument("--input_drop", type=float, default=0.1)
     p.add_argument("--drop", type=float, default=0.1)
+    p.add_argument("--cross_att_drop", type=float, default=None,
+                   help="dropout inside the cross-attention blocks "
+                        "(reference config.py:147); default: same as --drop")
+    p.add_argument("--grad_clip", type=float, default=-1,
+                   help="global-norm gradient clip on top of BertAdam's "
+                        "per-param clip; -1 disables (reference train.py:83)")
     p.add_argument("--margin", type=float, default=0.1)
     p.add_argument("--ranking_loss_type", type=str, default="hinge", choices=["hinge", "lse"])
     p.add_argument("--encoder_type", type=str, default="transformer",
@@ -403,7 +409,9 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
         hidden_size=args.hidden_size, n_heads=args.n_heads,
         conv_kernel_size=args.conv_kernel_size,
         max_ctx_l=args.max_ctx_l, max_desc_l=args.max_desc_l,
-        input_drop=args.input_drop, drop=args.drop, margin=args.margin,
+        input_drop=args.input_drop, drop=args.drop,
+        cross_att_drop=getattr(args, "cross_att_drop", None),
+        margin=args.margin,
         ranking_loss_type=args.ranking_loss_type,
         lw_neg_q=args.lw_neg_q, lw_neg_ctx=args.lw_neg_ctx,
         no_modular=args.no_modular, dtype_str=args.compute_dtype)
@@ -414,6 +422,7 @@ def start_training(argv: Optional[List[str]] = None) -> dict:
         lw_st_ed=args.lw_st_ed, train_span_start_epoch=args.train_span_start_epoch,
         hard_negative_start_epoch=args.hard_negtiave_start_epoch,
         hard_pool_size=args.hard_pool_size, seed=args.seed,
+        grad_clip=getattr(args, "grad_clip", -1.0),
         prebuild_examples=args.prebuild_examples,
         prebuild_dtype=args.prebuild_dtype,
         prebuild_cache_dir=args.prebuild_cache_dir or "",

@@ -116,6 +116,11 @@ class XMLTrainer:
             lr=settings.lr, t_total=t_total, warmup=settings.lr_warmup_proportion,
             schedule="warmup_linear", weight_decay=settings.wd,
             decay_mask=no_decay_mask(self.params), max_grad_norm=1.0)
+        if settings.grad_clip != -1.0:
+            # reference train.py:83-85: optional GLOBAL-norm clip on top of
+            # BertAdam's per-param clip (applied to grads before the update)
+            self.tx = optax.chain(
+                optax.clip_by_global_norm(settings.grad_clip), self.tx)
         self.opt_state = jax.device_put(self.tx.init(self.params),
                                         replicate_sharding(self.mesh))
         self.rng = jax.random.PRNGKey(settings.seed + 1)
