@@ -26,6 +26,8 @@ def build_arg_parser():
     p.add_argument("--results_root", type=str, default="results")
     p.add_argument("--exp_id", type=str, default=None)
     p.add_argument("--seed", type=int, default=2018)
+    p.add_argument("--data_ratio", type=float, default=1.0,
+                   help="train/eval on a fraction of the data (reference config.py:29-32)")
     p.add_argument("--model_type", type=str, default="cal", choices=["cal", "mcn"])
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_videos", type=int, default=64)
@@ -112,8 +114,9 @@ def setup_world(args):
         H5FeatureSource(args.vid_feat_path) if "video" in args.ctx_mode else None,
         H5FeatureSource(args.sub_bert_path) if "sub" in args.ctx_mode else None,
         external_vr_top_videos=external, seed=args.seed)
-    return (load_annotations(args.train_path),
-            load_annotations(args.eval_path) if args.eval_path else [],
+    return (load_annotations(args.train_path, args.data_ratio),
+            load_annotations(args.eval_path, args.data_ratio)
+            if args.eval_path else [],
             builder, corpus)
 
 

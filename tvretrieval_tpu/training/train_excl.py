@@ -24,6 +24,8 @@ def build_arg_parser():
     p.add_argument("--results_root", type=str, default="results")
     p.add_argument("--exp_id", type=str, default=None)
     p.add_argument("--seed", type=int, default=2018)
+    p.add_argument("--data_ratio", type=float, default=1.0,
+                   help="train/eval on a fraction of the data (reference config.py:29-32)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_videos", type=int, default=64)
     p.add_argument("--synthetic_queries", type=int, default=256)
@@ -82,8 +84,9 @@ def setup_world(args):
         max_ctx_l=args.max_ctx_l, clip_length=args.clip_length)
     corpus = CorpusIndex.from_video_duration_idx(
         args.video_duration_idx_path, args.eval_split_name)
-    return (load_annotations(args.train_path),
-            load_annotations(args.eval_path) if args.eval_path else [],
+    return (load_annotations(args.train_path, args.data_ratio),
+            load_annotations(args.eval_path, args.data_ratio)
+            if args.eval_path else [],
             builder, corpus)
 
 
