@@ -143,10 +143,14 @@ def test_assemble_kernel_path_matches_indexing_path():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.parametrize("scan_steps", [1, 2])
+@pytest.mark.parametrize("scan_steps", [1, 2, 4])
 def test_train_trajectory_matches_host_path_f32(scan_steps):
     """The scan trainer over resident f32 data reproduces the per-step host
-    trainer's parameter trajectory (same shuffles, same rng splits)."""
+    trainer's parameter trajectory (same shuffles, same rng splits).
+
+    scan_steps=4 with 6 steps/epoch exercises the REMAINDER path: the last
+    steps_per_epoch % K batches run as K=1 dispatches of the same scan body
+    (no examples silently dropped)."""
     w, builder = _world_and_builder(n_queries=48)
     cfg = _model_cfg(builder)
     s_host = TrainSettings(n_epoch=2, bsz=8, seed=7, prefetch_workers=1)
@@ -161,6 +165,7 @@ def test_train_trajectory_matches_host_path_f32(scan_steps):
     for epoch in range(2):
         lh = host.train_epoch(epoch)
         ld = dev.train_epoch(epoch)
+        assert ld["steps"] == dev.steps_per_epoch  # step-count parity
         assert lh["loss_overall"] == pytest.approx(ld["loss_overall"],
                                                    rel=1e-4)
     flat_h = jax.tree_util.tree_leaves(host.params)

@@ -72,8 +72,9 @@ class TrainSettings:
     # device-resident data (data/device_corpus.py): corpus context features
     # live in HBM; train steps gather them on device and run K steps per
     # dispatch under lax.scan. The last steps_per_epoch % scan_steps batches
-    # of each epoch are dropped (one compiled chunk shape) — set
-    # scan_steps=1 for exact step-count parity with the host path.
+    # of each epoch run through K=1 dispatches of the same scan body (one
+    # extra compiled shape), so every epoch trains exactly steps_per_epoch
+    # steps like the host path.
     scan_steps: int = 8
 
 
@@ -306,15 +307,24 @@ class XMLTrainer:
         rng = np.random.default_rng(self.s.seed + epoch)  # = BatchIterator
         rng.shuffle(order)
         n_chunks = self.steps_per_epoch // K
+        # trailing steps_per_epoch % K batches run as K=1 dispatches of the
+        # SAME scan body (one extra compiled shape) so no example is silently
+        # dropped; the rng split sequence simply continues, matching a
+        # scan_steps=1 run of the same tail
+        n_rem = self.steps_per_epoch - n_chunks * K
         sh = self._chunk_sharding()
 
         def chunks():
             for c in range(n_chunks):
-                yield order[c * K * B:(c + 1) * K * B]
+                yield (K, order[c * K * B:(c + 1) * K * B])
+            base = n_chunks * K * B
+            for r in range(n_rem):
+                yield (1, order[base + r * B: base + (r + 1) * B])
 
-        def build(idx):
+        def build(item):
+            k, idx = item
             qf, ql, sl, se = tq.chunk(idx)
-            return tuple(a.reshape((K, B) + a.shape[1:])
+            return tuple(a.reshape((k, B) + a.shape[1:])
                          for a in (qf, ql, sl, se))
 
         def put(arrs):
@@ -333,14 +343,15 @@ class XMLTrainer:
         for qf, ql, sl, se in prefetch:
             t1 = time.time()
             data_wait.update(t1 - t0)
+            k_here = int(qf.shape[0])            # K for full chunks, 1 for tail
             (self.params, self.opt_state, self.rng, last_losses,
              lds) = self._scan_step(self.params, self.opt_state, self.rng,
                                     ctx, qf, ql, sl, se, lw, neg_upper)
-            self.global_step += K
-            done_steps += K
+            self.global_step += k_here
+            done_steps += k_here
             chunk_lds.append(lds)
             if (self.s.flush_every_steps > 0
-                    and done_steps % max(self.s.flush_every_steps, K) < K):
+                    and done_steps % max(self.s.flush_every_steps, K) < k_here):
                 jax.device_get(last_losses[-1])   # relay flush fence
             t0 = time.time()
             dispatch.update(t0 - t1)
@@ -358,6 +369,11 @@ class XMLTrainer:
         out = {k: m.avg for k, m in meters.items()}
         out["time/data_wait_s"] = data_wait.avg
         out["time/step_dispatch_s"] = dispatch.avg
+        out["steps"] = done_steps
+        if self.s.debug_max_steps <= 0 and done_steps != self.steps_per_epoch:
+            raise AssertionError(
+                f"device epoch ran {done_steps} steps, host path would run "
+                f"{self.steps_per_epoch}")
         return out
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
