@@ -195,7 +195,8 @@ class InceptionI3d(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def torchvision_resnet152_to_flax(state_dict) -> dict:
+def torchvision_resnet152_to_flax(state_dict,
+                                  block_counts=(3, 8, 36, 3)) -> dict:
     """Map a torchvision resnet152 state_dict (numpy arrays or torch tensors
     with .numpy()) onto ResNet152 variables: {'params': ..., 'batch_stats': ...}.
 
@@ -203,6 +204,10 @@ def torchvision_resnet152_to_flax(state_dict) -> dict:
     ``layer{S}_{B}/convN.kernel`` (kh,kw,I,O); ``bnN.{weight,bias}`` ->
     ``bnN.{scale,bias}``; ``bnN.running_{mean,var}`` -> batch_stats;
     ``layerS.0.downsample.{0,1}`` -> ``downsample_{conv,bn}``.
+
+    block_counts: stage depths — (3, 8, 36, 3) is resnet152; smaller counts
+    let tests run reduced-depth nets through the same mapping
+    (tests/test_backbones.py numeric differentials vs hand-built torch).
     """
     import numpy as np
 
@@ -230,7 +235,7 @@ def torchvision_resnet152_to_flax(state_dict) -> dict:
 
     conv("conv1.weight", ("conv1",))
     bn("bn1", ("bn1",))
-    for s, n_blocks in enumerate((3, 8, 36, 3)):
+    for s, n_blocks in enumerate(block_counts):
         for b in range(n_blocks):
             tp, fp = f"layer{s + 1}.{b}", f"layer{s + 1}_{b}"
             for c in ("conv1", "conv2", "conv3"):
