@@ -51,7 +51,7 @@ def _run(model, variables, rcfg, cache, qb, n_videos, mode):
     qm = jnp.asarray(qb.query_mask)
     gt = jnp.asarray(np.arange(qf.shape[0]) % n_videos, jnp.int32)
     kw = {}
-    if mode == "simsweep_cat":
+    if mode.startswith("simsweep_cat"):
         kw["feat2_cat"] = jnp.concatenate(
             [cache.video_feat2, cache.sub_feat2], axis=-1)
     out = _score_query_batch(model, variables, rcfg, qf, qm,
@@ -103,6 +103,51 @@ def test_simsweep_cat_matches_gather(setup):
     assert same.mean() > 0.99
     np.testing.assert_allclose(out["svmr_scores"], ref["svmr_scores"],
                                rtol=2e-5, atol=1e-8)
+
+
+def test_simsweep_cat_bf16_close_to_cat(setup):
+    """The bf16-stored similarity mode: video ranking is untouched
+    (bit-equal) and span scores/candidates agree within the single bf16
+    rounding (rel <= 2^-9) of the stored similarity. On this fixture the
+    ranked-score margins exceed the rounding, so candidate identity holds
+    almost everywhere."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos,
+               "simsweep_cat")
+    out = _run(model, variables, rcfg, cache, qb, cache.n_videos,
+               "simsweep_cat_bf16")
+    np.testing.assert_array_equal(out["topv_idx"], ref["topv_idx"])
+    np.testing.assert_array_equal(out["topv_scores"], ref["topv_scores"])
+    # probs move by O(alpha-free softmax sensitivity to a 2^-9 logit
+    # perturbation); scores are products of two probs and the video weight
+    np.testing.assert_allclose(out["vcmr_scores"], ref["vcmr_scores"],
+                               rtol=2e-2, atol=1e-6)
+    same = ((out["vcmr_vid_local"] == ref["vcmr_vid_local"])
+            & (out["vcmr_st"] == ref["vcmr_st"])
+            & (out["vcmr_ed"] == ref["vcmr_ed"]))
+    assert same.mean() > 0.95
+    np.testing.assert_allclose(out["svmr_scores"], ref["svmr_scores"],
+                               rtol=2e-2, atol=1e-6)
+
+
+def test_video_topk_pre_exp_matches(setup):
+    """video_topk_pre_exp=True: identical outputs on data without
+    exp-collapsed f32 ties (exp is strictly monotone; the recomputed
+    exp(alpha * q2c) of a selected video equals the post-exp value
+    bit-for-bit — same op on the same input)."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos, "gather")
+    pcfg = dataclasses.replace(rcfg, video_topk_pre_exp=True)
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    out = _score_query_batch(model, variables, pcfg, qf, qm,
+                             cache.video_feat1, cache.video_feat2,
+                             cache.sub_feat1, cache.sub_feat2,
+                             cache.mask, gt, True)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    for k in ref:
+        np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
 
 
 def test_pallas_flat_cache_engine_matches_einsum(setup):

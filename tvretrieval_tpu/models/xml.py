@@ -398,7 +398,8 @@ class XML(nn.Module):
         return mask_logits(st, mask_g), mask_logits(ed, mask_g)
 
     def merged_st_ed_scores_simgather_cat(self, video_query, sub_query,
-                                          feat2_cat, context_mask, gather_idx):
+                                          feat2_cat, context_mask, gather_idx,
+                                          sim_dtype=None):
         """``merged_st_ed_scores_simgather`` with the two feat2 streams
         CONCATENATED in the cache (feat2_cat = [video_feat2 ; sub_feat2] on
         the feature axis): one K=2D einsum replaces two K=D einsums + merge,
@@ -410,6 +411,15 @@ class XML(nn.Module):
         accumulates 0.5*vq.vf2 + 0.5*sq.sf2 directly. Values can differ
         from the two-einsum path only by f32 accumulation order (K=2D in
         one sum vs two K=D sums added).
+
+        sim_dtype: optional storage dtype for the corpus-wide similarity
+        (e.g. jnp.bfloat16 — engine mode "simsweep_cat_bf16"). XLA fuses the
+        cast into the einsum epilogue, halving the (Nq, Nv, L) HBM write —
+        the dominant traffic of the whole span stage at corpus scale. The
+        dot still accumulates f32; rounding enters ONCE, on the stored
+        similarity (relative error <= 2^-9), and the gathered rows are
+        upcast so conv/softmax stay f32. Metric impact on a trained
+        checkpoint is committed in BENCH_NOTES (engine-mode A/B).
         """
         c = self.cfg
         assert c.use_video and c.use_sub and c.span_predictor_type == "conv"
@@ -418,7 +428,10 @@ class XML(nn.Module):
         qcat = jnp.concatenate([vq, sq], axis=-1) * 0.5
         sim = jnp.einsum("qd,nld->qnl", qcat.astype(feat2_cat.dtype),
                          feat2_cat, preferred_element_type=jnp.float32)
-        similarity = jnp.take_along_axis(sim, gather_idx[:, :, None], axis=1)
+        if sim_dtype is not None:
+            sim = sim.astype(sim_dtype)
+        similarity = jnp.take_along_axis(
+            sim, gather_idx[:, :, None], axis=1).astype(jnp.float32)
         mask_g = context_mask[gather_idx]                # (Nq, V, L)
         st, ed = self._merged_span_conv(similarity)
         return mask_logits(st, mask_g), mask_logits(ed, mask_g)

@@ -82,10 +82,14 @@ def main() -> None:
         parts = combo.split("/")
         span_mode, vid_mode = parts[0], parts[1]
         topk_mode = parts[2] if len(parts) > 2 else "grouped"
+        # optional 4th part: "preexp" (video top-k on pre-exp scores)
+        pre_exp = len(parts) > 3 and parts[3] == "preexp"
         rcfg = dataclasses.replace(base, span_score_mode=span_mode,
                                    video_score_mode=vid_mode,
-                                   span_topk_mode=topk_mode)
-        kw = ({"feat2_cat": feat2_cat} if span_mode == "simsweep_cat" else {})
+                                   span_topk_mode=topk_mode,
+                                   video_topk_pre_exp=pre_exp)
+        kw = ({"feat2_cat": feat2_cat}
+              if span_mode.startswith("simsweep_cat") else {})
         f1v = vf1_flat if vid_mode == "pallas" else vf1
         f1s = sf1_flat if vid_mode == "pallas" else sf1
         run = lambda: _score_query_batch(model, variables, rcfg, qf, qm,

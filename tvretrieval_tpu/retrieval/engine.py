@@ -58,6 +58,14 @@ class RetrievalConfig:
     #   "simsweep_cat": one K=2D einsum over a concatenated feat2 cache
     #               (encode_corpus stores feat2_cat instead of the two
     #               streams); halves the similarity write traffic
+    #   "simsweep_cat_bf16": simsweep_cat with the corpus-wide similarity
+    #               STORED bf16 (cast fused into the einsum epilogue —
+    #               halves the (Nq, Nv, L) write, the span stage's dominant
+    #               HBM traffic, and ~halves its HBM footprint). Gathered
+    #               rows are upcast to f32 before conv/softmax, so rounding
+    #               enters once (rel <= 2^-9) on the stored similarity;
+    #               metric-level impact on a trained checkpoint is the
+    #               engine-mode A/B committed in BENCH_NOTES
     #   "gather":   gather top-V feature rows, then sim+conv (round-2 path)
     span_score_mode: str = "gather"
     # video-level q2c stage:
@@ -78,6 +86,17 @@ class RetrievalConfig:
     # run the Pallas video-score kernel in interpret mode (CPU tests only;
     # Mosaic does not lower on the CPU backend)
     pallas_interpret: bool = False
+    # top-k videos on the PRE-exp cosine scores, applying exp(alpha * .)
+    # only to the V selected values (exp is strictly monotone, so the
+    # ranking is identical wherever exp does not collapse f32-adjacent
+    # scores — and where it does, pre-exp resolves the tie at FULL f32
+    # resolution; scores are equal either way). Saves the (Nq, Nv)
+    # transcendental per query batch (~17M exps at corpus scale).
+    video_topk_pre_exp: bool = False
+
+    @property
+    def cat_mode(self) -> bool:
+        return self.span_score_mode in ("simsweep_cat", "simsweep_cat_bf16")
 
     @property
     def cache_dtype(self):
@@ -179,8 +198,7 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
     cat = lambda key: jnp.concatenate(chunks[key], axis=0) if chunks[key] else None
     vf2_all, sf2_all = cat("vf2"), cat("sf2")
     feat2_cat = None
-    if (cfg.span_score_mode == "simsweep_cat" and vf2_all is not None
-            and sf2_all is not None):
+    if cfg.cat_mode and vf2_all is not None and sf2_all is not None:
         # one concatenated localization cache (same total HBM as the two
         # streams, which are dropped — only the cat path consumes feat2)
         feat2_cat = jnp.concatenate([vf2_all, sf2_all], axis=-1)
@@ -226,7 +244,7 @@ def encode_corpus_resident(model: XML, variables, device_data,
     nv = len(corpus)
     bsz = min(cfg.context_bsz, nv)
     dt = cfg.cache_dtype
-    cat_mode = cfg.span_score_mode == "simsweep_cat"
+    cat_mode = cfg.cat_mode
 
     @jax.jit
     def _encode_chunk(vars_, ctx, start):
@@ -345,15 +363,24 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
             # (reference inference.py:346-355)
             topv_idx = external_idx
             topv_scores = jnp.exp(cfg.q2c_alpha * external_scores)
+        elif getattr(cfg, "video_topk_pre_exp", False):
+            # exact stable top-k on the raw cosine scores; exp only the V
+            # selected values (identical ranking wherever exp does not
+            # collapse f32-adjacent scores — see RetrievalConfig)
+            topv_q2c, topv_idx = topk_stable_blocked(q2c.astype(f32), V)
+            topv_scores = jnp.exp(cfg.q2c_alpha * topv_q2c)
         else:
             # exact stable top-k with block-max pruning (bit-equal to
             # lax.top_k, ~2x faster over the 21.8K-video axis)
             topv_scores, topv_idx = topk_stable_blocked(q2c_exp, V)  # (Nq, V)
         gather_idx = (jnp.concatenate([topv_idx, gt_meta_idx[:, None]], axis=1)
                       if do_svmr else topv_idx)                # (Nq, V[+1])
-        if cfg.span_score_mode == "simsweep_cat":
+        if cfg.cat_mode:
             st_logits, ed_logits = model.apply(
                 variables, vq, sq, feat2_cat, ctx_mask, gather_idx,
+                sim_dtype=(jnp.bfloat16
+                           if cfg.span_score_mode == "simsweep_cat_bf16"
+                           else None),
                 method=XML.merged_st_ed_scores_simgather_cat)
         elif cfg.span_score_mode == "simsweep":
             # full-corpus similarity sweep (sequential feat2 reads) + tiny
@@ -385,6 +412,9 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
         if use_external_vr:
             topv_idx = external_idx
             topv_scores = jnp.exp(cfg.q2c_alpha * external_scores)
+        elif getattr(cfg, "video_topk_pre_exp", False):
+            topv_q2c, topv_idx = jax.lax.top_k(q2c.astype(f32), V)
+            topv_scores = jnp.exp(cfg.q2c_alpha * topv_q2c)
         else:
             topv_scores, topv_idx = jax.lax.top_k(q2c_exp, V)
         st_top = jnp.take_along_axis(st_probs, topv_idx[:, :, None], axis=1)
