@@ -310,7 +310,8 @@ def banded_topk_spans_grouped(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
 @partial(jax.jit, static_argnames=("min_l", "max_l", "top_n"))
 def banded_topk_spans_grouped_shift(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
                                     video_scores: jnp.ndarray, min_l: int,
-                                    max_l: int, top_n: int):
+                                    max_l: int, top_n: int,
+                                    keep_mask: jnp.ndarray | None = None):
     """banded_topk_spans_grouped with a SHIFT-REDUCTION candidate expansion.
 
     Stages 1-2 (group max via window max of ed, stable top-k group select)
@@ -328,6 +329,14 @@ def banded_topk_spans_grouped_shift(st_probs: jnp.ndarray, ed_probs: jnp.ndarray
     downstream products and the stable top_k are unchanged — outputs are
     bit-for-bit equal to banded_topk_spans_grouped / banded_topk_spans
     (pinned by tests/test_pallas_topk.py::test_grouped_matches_flat_exactly).
+
+    keep_mask: optional (Nq, V) {0,1} like banded_topk_spans — every span
+    of a non-kept video is pushed to exactly -1 (strictly below any real
+    span's >= 0 score). keep is constant within a video, so applying the
+    transform ``x*keep - (1-keep)`` to the GROUP maxima (selection) and to
+    the expanded values (pool) reproduces the flat path's per-span
+    transform bit-for-bit: a non-kept group's max is exactly -1 and its
+    expanded spans are exactly -1, same ascending-canonical tie order.
     """
     nq, v, L = st_probs.shape
     W = max_l - min_l
@@ -337,6 +346,9 @@ def banded_topk_spans_grouped_shift(st_probs: jnp.ndarray, ed_probs: jnp.ndarray
         padding=((0, 0), (0, 0), (0, W - 1)))
     wmax = jnp.pad(rw, ((0, 0), (0, 0), (0, min_l)))[..., min_l:]
     gmax = (st_probs * wmax) * video_scores[:, :, None]          # (Nq, V, L)
+    if keep_mask is not None:
+        gmax = (gmax * keep_mask[:, :, None]
+                - (1.0 - keep_mask)[:, :, None])
 
     k_groups = min(top_n, v * L)
     _, gidx = topk_stable_blocked(gmax.reshape(nq, v * L), k_groups)  # (Nq, G)
@@ -363,6 +375,9 @@ def banded_topk_spans_grouped_shift(st_probs: jnp.ndarray, ed_probs: jnp.ndarray
     valid_g = ((g_st[:, :, None] + min_l + jnp.arange(W)[None, None]) < L
                ).astype(st_probs.dtype)
     vals = ((st_g[:, :, None] * ed_g) * vs_g[:, :, None]) * valid_g
+    if keep_mask is not None:
+        keep_g = jnp.take_along_axis(keep_mask, g_vid, axis=1)   # (Nq, G)
+        vals = vals * keep_g[:, :, None] - (1.0 - keep_g)[:, :, None]
     canon = gidx[:, :, None] * W + jnp.arange(W)[None, None]
 
     pool = vals.reshape(nq, -1)

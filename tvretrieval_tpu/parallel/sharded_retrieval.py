@@ -38,17 +38,55 @@ from jax import shard_map
 
 from tvretrieval_tpu.models.xml import XML
 from tvretrieval_tpu.ops.masking import mask_logits
-from tvretrieval_tpu.ops.span import banded_top_spans_from_probs, banded_topk_spans
+from tvretrieval_tpu.ops.span import (
+    banded_top_spans_from_probs,
+    banded_topk_spans,
+    topk_stable_blocked,
+)
 
 
-def shard_corpus_cache(cache, mesh: Mesh):
-    """device_put the cache tensors with video-axis sharding. The video count
-    must be padded to a multiple of the mesh size (pad rows have mask=0)."""
+def shard_corpus_cache(cache, mesh: Mesh, cfg=None, chunk_v: int = 16):
+    """Pad the video axis and device_put the cache tensors video-sharded.
+
+    cfg=None (round-2 behavior): tensors must already be padded to a mesh
+    multiple (pad rows carry mask=0).
+
+    cfg given: pads internally — to a mesh multiple, or, when
+    ``cfg.video_score_mode == "pallas"``, to a mesh * chunk_v multiple and
+    then rebuilds the feat1 streams in the per-shard FLAT video-major
+    layout (ops/pallas_score.build_flat_feat1): the flat layout is
+    video-major, so a P("data") sharding of the (Nv_pad * lp, D) array
+    hands each shard exactly its own videos' rows, and every shard runs
+    the round-2 flat-cache kernel locally (one large MXU dot per stream —
+    the 3.2x video-score win the sharded path previously left on the
+    table). Pad videos are all-masked; the shard program restores their
+    exact -1e10 einsum-path score from the mask (see shard_fn), so the
+    kernel's mask-free fill is safe here.
+    """
     if cache.video_feat1 is not None and cache.video_feat1.ndim == 2:
         raise ValueError(
-            "cache holds the FLAT pallas feat1 layout (built with "
-            "video_score_mode='pallas'); the sharded engine needs the "
-            "(Nv, L, D) layout — encode with video_score_mode='einsum'")
+            "cache holds the FLAT single-chip pallas feat1 layout; pass the "
+            "(Nv, L, D) cache and let shard_corpus_cache build the per-shard "
+            "flat layout (cfg with video_score_mode='pallas')")
+    if cfg is not None:
+        pallas = (getattr(cfg, "video_score_mode", "einsum") == "pallas"
+                  and cache.video_feat1 is not None
+                  and cache.sub_feat1 is not None)
+        mult = mesh.devices.size * (chunk_v if pallas else 1)
+        arrs, _ = pad_videos_to_multiple(
+            [cache.video_feat1, cache.video_feat2, cache.sub_feat1,
+             cache.sub_feat2, cache.mask, cache.feat2_cat],
+            cache.n_videos, mult)
+        (cache.video_feat1, cache.video_feat2, cache.sub_feat1,
+         cache.sub_feat2, cache.mask, cache.feat2_cat) = arrs
+        if pallas:
+            from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
+            # check=False: pad videos are fully masked by construction; the
+            # shard program re-masks their scores to the exact einsum value
+            cache.video_feat1 = build_flat_feat1(
+                cache.video_feat1, cache.mask, chunk_v=chunk_v, check=False)
+            cache.sub_feat1 = build_flat_feat1(
+                cache.sub_feat1, cache.mask, chunk_v=chunk_v, check=False)
     sh = NamedSharding(mesh, P("data"))
     put = lambda x: None if x is None else jax.device_put(x, sh)
     cache.video_feat1 = put(cache.video_feat1)
@@ -125,8 +163,27 @@ def score_query_batch_sharded(model: XML, variables, cfg,
                                preferred_element_type=jnp.float32)
                 return mask_logits(s, cmask.T[None]).max(axis=1)
 
-            q2c = (scores_prenormalized(vq, vf1)
-                   + scores_prenormalized(sq, sf1)) / 2
+            if vf1.ndim == 2:
+                # per-shard FLAT pallas video scoring (shard_corpus_cache
+                # built the video-major flat layout; P("data") hands each
+                # shard its own videos' rows). Fully-masked (pad) videos
+                # score 0 under the mask-free kernel — restore the exact
+                # einsum-path -1e10 from the mask so selection matches.
+                from tvretrieval_tpu.ops.masking import NEG_INF
+                from tvretrieval_tpu.ops.pallas_score import (
+                    flat_lp, video_scores_pallas_flat)
+                normcast = lambda q, feat: (
+                    q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+                ).astype(feat.dtype)
+                q2c = video_scores_pallas_flat(
+                    normcast(vq, vf1).T, normcast(sq, sf1).T, vf1, sf1,
+                    n_videos=nv_local, lp=flat_lp(cmask.shape[1]),
+                    interpret=getattr(cfg, "pallas_interpret", False))
+                has_clip = cmask.max(axis=1) > 0                  # (nv_local,)
+                q2c = jnp.where(has_clip[None, :], q2c, NEG_INF)
+            else:
+                q2c = (scores_prenormalized(vq, vf1)
+                       + scores_prenormalized(sq, sf1)) / 2
             q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
         else:
             q2c, st_logits_all, ed_logits_all = model.apply(
@@ -136,15 +193,25 @@ def score_query_batch_sharded(model: XML, variables, cfg,
             st_probs_all = jax.nn.softmax(st_logits_all.astype(f32), axis=-1)
             ed_probs_all = jax.nn.softmax(ed_logits_all.astype(f32), axis=-1)
 
-        # --- phase 1: EXACT global top-V (score desc, global idx asc)
+        # --- phase 1: EXACT global top-V (score desc, global idx asc).
+        # topk_stable_blocked is bit-equal to lax.top_k (stable tie order)
+        # and ~2x faster over wide video axes. With video_topk_pre_exp the
+        # selection/sort run on the raw cosine scores (strictly monotone
+        # under exp -> same order) and exp is applied to the V survivors.
+        pre_exp = getattr(cfg, "video_topk_pre_exp", False)
+        sel_scores = q2c.astype(f32) if pre_exp else q2c_exp
         v_local = min(V, nv_local)
-        top_local, top_local_idx = jax.lax.top_k(q2c_exp, v_local)  # (Nq, v_local)
+        top_local_sel, top_local_idx = topk_stable_blocked(sel_scores, v_local)
+        top_local = (jnp.exp(cfg.q2c_alpha * top_local_sel) if pre_exp
+                     else top_local_sel)                         # (Nq, v_local)
         gidx_local = top_local_idx + base
-        all_scores = jax.lax.all_gather(top_local, "data", axis=1, tiled=True)
+        all_scores = jax.lax.all_gather(top_local_sel, "data", axis=1, tiled=True)
         all_gidx = jax.lax.all_gather(gidx_local, "data", axis=1, tiled=True)
         topv_scores_g, topv_idx_g = _sort_desc_by_score_then_idx(
             all_scores, all_gidx)
         topv_scores_g = topv_scores_g[:, :V]
+        if pre_exp:
+            topv_scores_g = jnp.exp(cfg.q2c_alpha * topv_scores_g)
         topv_idx_g = topv_idx_g[:, :V]                               # (Nq, V)
 
         # local candidates inside the exact global top-V + their global rank
@@ -158,12 +225,16 @@ def score_query_batch_sharded(model: XML, variables, cfg,
                                            jnp.clip(gt_idx - base, 0, nv_local - 1)[:, None]],
                                           axis=1) if do_svmr else top_local_idx)
             mode = getattr(cfg, "span_score_mode", "gather")
-            if mode == "simsweep_cat":
+            if mode.startswith("simsweep_cat"):
                 # per-shard concatenated-cache sweep (one K=2D einsum over
                 # the local feat2_cat slice, riding the vf2 slot — see
-                # cat_mode_feat2_args) + tiny sim-row gather
+                # cat_mode_feat2_args) + tiny sim-row gather; _bf16 stores
+                # the per-shard similarity bf16 (same single-rounding story
+                # as the single-chip engine mode)
                 st_logits, ed_logits = model.apply(
                     vars_, vq, sq, vf2, cmask, gather_idx,
+                    sim_dtype=(jnp.bfloat16 if mode == "simsweep_cat_bf16"
+                               else None),
                     method=XML.merged_st_ed_scores_simgather_cat)
             elif mode == "simsweep":
                 # per-shard full-slice similarity sweep (sequential local
@@ -188,9 +259,17 @@ def score_query_batch_sharded(model: XML, variables, cfg,
 
         L = st_top.shape[-1]
         n_local = min(N, v_local * L * W)
-        vid_loc, st_i, ed_i, scores = banded_topk_spans(
-            st_top, ed_top, top_local, cfg.min_pred_l, cfg.max_pred_l,
-            n_local, keep_mask=keep)
+        if getattr(cfg, "span_topk_mode", "grouped") == "grouped_shift":
+            # hierarchical shift-expansion top-k (bit-equal to the flat
+            # banded path, incl. the keep transform — ops/span.py)
+            from tvretrieval_tpu.ops.span import banded_topk_spans_grouped_shift
+            vid_loc, st_i, ed_i, scores = banded_topk_spans_grouped_shift(
+                st_top, ed_top, top_local, cfg.min_pred_l, cfg.max_pred_l,
+                n_local, keep_mask=keep)
+        else:
+            vid_loc, st_i, ed_i, scores = banded_topk_spans(
+                st_top, ed_top, top_local, cfg.min_pred_l, cfg.max_pred_l,
+                n_local, keep_mask=keep)
         # canonical flat index in the single-device engine's flat ordering:
         # global-rank * L * W + st * W + band offset
         cand_rank = jnp.take_along_axis(rank, vid_loc, axis=1)
