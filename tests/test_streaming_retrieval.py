@@ -122,3 +122,78 @@ def test_streaming_matches_in_hbm_engine():
     np.testing.assert_allclose(out["svmr_scores"],
                                np.asarray(ref["svmr_scores"]), rtol=1e-5)
     np.testing.assert_array_equal(out["svmr_st"], np.asarray(ref["svmr_st"]))
+
+
+def test_streaming_flat_kernel_matches_einsum_blocks(setup):
+    """flat=True (per-block Pallas flat-kernel scoring, interpret on CPU)
+    + grouped_shift span top-k must reproduce the einsum-block streaming
+    engine bit-for-bit — the kernel is bit-equal per video, pad videos are
+    restored to the exact -1e10 masked-einsum value, and grouped_shift is
+    bit-equal to grouped (round-3: scale paths inherit the round-2 wins)."""
+    import dataclasses
+
+    world, model, variables, rcfg, cache, qb, gt = setup
+    host = host_cache_from_device(cache)
+    ref = streaming_score_query_batch(
+        model, variables, rcfg, qb.query_feat, qb.query_mask, host,
+        gt_meta_idx=gt, block_videos=16)  # 23 videos -> a padded block
+
+    fcfg = dataclasses.replace(rcfg, pallas_interpret=True,
+                               span_topk_mode="grouped_shift")
+    fhost = host_cache_from_device(cache, flat=True)
+    assert fhost.flat and fhost.video_feat1.ndim == 2
+    out = streaming_score_query_batch(
+        model, variables, fcfg, qb.query_feat, qb.query_mask, fhost,
+        gt_meta_idx=gt, block_videos=16)
+    for k in ref:
+        if ref[k].dtype.kind == "i":
+            np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+        else:
+            np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+
+
+def test_streaming_flat_sharded_matches_unsharded(setup):
+    """flat blocks sharded over the 8-device mesh (per-shard kernel under
+    shard_map) == unsharded flat streaming."""
+    import dataclasses
+
+    from tvretrieval_tpu.parallel.mesh import make_mesh
+
+    world, model, variables, rcfg, cache, qb, gt = setup
+    fcfg = dataclasses.replace(rcfg, pallas_interpret=True)
+    fhost = host_cache_from_device(cache, flat=True)
+    plain = streaming_score_query_batch(
+        model, variables, fcfg, qb.query_feat, qb.query_mask, fhost,
+        gt_meta_idx=gt, block_videos=16)
+    mesh = make_mesh(8)
+    sharded = streaming_score_query_batch(
+        model, variables, fcfg, qb.query_feat, qb.query_mask, fhost,
+        gt_meta_idx=gt, block_videos=16, mesh=mesh)  # rounds to 128/block
+    for k in plain:
+        np.testing.assert_array_equal(sharded[k], plain[k], err_msg=k)
+
+
+def test_streaming_flat_bf16_cache(setup):
+    """bf16 host cache streams through the flat kernel (halved host->HBM
+    transfer per block) and matches the bf16 einsum-block path exactly."""
+    import dataclasses
+
+    world, model, variables, rcfg, cache, qb, gt = setup
+    bcfg = dataclasses.replace(rcfg, cache_dtype_str="bfloat16")
+    from tvretrieval_tpu.retrieval.engine import encode_corpus as enc
+    from tvretrieval_tpu.data.datasets import ExampleBuilder
+    builder = ExampleBuilder(
+        query_source=world.query_source, video_source=world.video_source,
+        sub_source=world.sub_source, ctx_mode="video_sub_tef",
+        max_desc_l=16, max_ctx_l=12, clip_length=world.clip_length)
+    bcache = enc(model, variables, builder, world.corpus, bcfg)
+    ref = streaming_score_query_batch(
+        model, variables, bcfg, qb.query_feat, qb.query_mask,
+        host_cache_from_device(bcache), gt_meta_idx=gt, block_videos=16)
+    fcfg = dataclasses.replace(bcfg, pallas_interpret=True)
+    out = streaming_score_query_batch(
+        model, variables, fcfg, qb.query_feat, qb.query_mask,
+        host_cache_from_device(bcache, flat=True), gt_meta_idx=gt,
+        block_videos=16)
+    for k in ref:
+        np.testing.assert_array_equal(out[k], ref[k], err_msg=k)

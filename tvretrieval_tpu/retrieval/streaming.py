@@ -32,37 +32,81 @@ import jax.numpy as jnp
 import numpy as np
 
 from tvretrieval_tpu.models.xml import XML
-from tvretrieval_tpu.ops.masking import mask_logits
+from tvretrieval_tpu.ops.masking import NEG_INF, mask_logits
 from tvretrieval_tpu.ops.span import (
     banded_top_spans_from_probs,
     banded_topk_spans_grouped,
+    banded_topk_spans_grouped_shift,
 )
 
 
 @dataclass
 class HostCorpusCache:
-    """Encoded corpus in host RAM (feat1 pre-normalized, like the HBM cache)."""
+    """Encoded corpus in host RAM (feat1 pre-normalized, like the HBM cache).
 
-    video_feat1: np.ndarray   # (Nv, L, D)
+    flat=True: the feat1 slots hold the video-major FLAT mask-free layout
+    (ops/pallas_score.build_flat_feat1's byte-identical numpy equivalent,
+    (Nv * lp, D)); streamed blocks then slice CONTIGUOUS row ranges and each
+    block is scored by the round-2 flat-cache Pallas kernel (one large MXU
+    dot per stream — ~3x the einsum block's throughput at TVR dims,
+    BENCH_NOTES). ``video_valid`` restores the exact -1e10 einsum-path
+    score of fully-masked (pad) videos that the mask-free layout cannot
+    represent.
+    """
+
+    video_feat1: np.ndarray   # (Nv, L, D), or (Nv * lp, D) when flat
     video_feat2: np.ndarray
     sub_feat1: np.ndarray
     sub_feat2: np.ndarray
     mask: np.ndarray          # (Nv, L)
     n_videos: int
+    flat: bool = False
+    lp: int = 0
+    video_valid: Optional[np.ndarray] = None   # (Nv,) bool, flat mode only
 
 
-def host_cache_from_device(cache) -> HostCorpusCache:
-    """Pull an engine CorpusCache into host memory."""
+def _flat_feat1_np(feat1: np.ndarray, mask: np.ndarray, lp: int) -> np.ndarray:
+    """Numpy twin of ops.pallas_score._build_flat_feat1 (no video-axis pad:
+    streamed blocks handle that): masked clips and the L -> lp pad hold the
+    video's first VALID clip row; fully-masked videos (flagged in
+    video_valid) keep row 0. Pure data movement — bytes match the device
+    builder exactly."""
+    nv, L, d = feat1.shape
+    first = np.argmax(mask > 0, axis=1)
+    fill = np.take_along_axis(feat1, first[:, None, None], axis=1)
+    fixed = np.where(mask[:, :, None] > 0, feat1, fill)
+    if lp > L:
+        fixed = np.concatenate(
+            [fixed, np.broadcast_to(fill, (nv, lp - L, d))], axis=1)
+    return np.ascontiguousarray(fixed.reshape(nv * lp, d))
+
+
+def host_cache_from_device(cache, flat: bool = False) -> HostCorpusCache:
+    """Pull an engine CorpusCache into host memory.
+
+    flat=True converts the feat1 streams to the video-major flat layout for
+    Pallas block scoring (see HostCorpusCache); the (Nv, L, D) originals are
+    not kept (phase 2 only needs feat2)."""
     if cache.video_feat1 is not None and cache.video_feat1.ndim == 2:
         raise ValueError(
-            "cache holds the FLAT pallas feat1 layout (built with "
-            "video_score_mode='pallas'); the streaming engine needs the "
-            "(Nv, L, D) layout — encode with video_score_mode='einsum'")
+            "cache holds the FLAT single-chip pallas feat1 layout (built "
+            "with video_score_mode='pallas'); the streaming engine builds "
+            "its own block layout — encode with video_score_mode='einsum'")
     g = lambda x: np.asarray(x)
+    vf1, sf1, mask = g(cache.video_feat1), g(cache.sub_feat1), g(cache.mask)
+    lp = 0
+    valid = None
+    if flat:
+        from tvretrieval_tpu.ops.pallas_score import flat_lp
+        lp = flat_lp(mask.shape[1])
+        valid = mask.max(axis=1) > 0
+        vf1 = _flat_feat1_np(vf1, mask, lp)
+        sf1 = _flat_feat1_np(sf1, mask, lp)
     return HostCorpusCache(
-        video_feat1=g(cache.video_feat1), video_feat2=g(cache.video_feat2),
-        sub_feat1=g(cache.sub_feat1), sub_feat2=g(cache.sub_feat2),
-        mask=g(cache.mask), n_videos=cache.n_videos)
+        video_feat1=vf1, video_feat2=g(cache.video_feat2),
+        sub_feat1=sf1, sub_feat2=g(cache.sub_feat2),
+        mask=mask, n_videos=cache.n_videos, flat=flat, lp=lp,
+        video_valid=valid)
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
@@ -85,6 +129,38 @@ def _block_scores(vqn, sqn, vf1_block, sf1_block, mask_block):
         return mask_logits(s, mask_block.T[None]).max(axis=1)
 
     return (one(vqn, vf1_block) + one(sqn, sf1_block)) / 2
+
+
+@functools.partial(jax.jit, static_argnames=("lp", "interpret", "mesh"))
+def _block_scores_flat(vqn, sqn, vf_flat, sf_flat, valid, lp: int,
+                       interpret: bool = False, mesh=None):
+    """(Nq, B) block scores via the flat-cache Pallas kernel (bit-equal to
+    _block_scores on the same videos; fully-masked videos restored to the
+    exact -1e10 einsum value via ``valid``).
+
+    mesh: optional 1-D "data" mesh — the kernel runs per shard under
+    shard_map (pallas_call is not GSPMD-partitionable), each shard scoring
+    its contiguous 1/k of the block's videos; only the (Nq, B) scores
+    concatenate across ICI."""
+    from tvretrieval_tpu.ops.pallas_score import video_scores_pallas_flat
+
+    qvt = vqn.astype(vf_flat.dtype).T
+    qst = sqn.astype(sf_flat.dtype).T
+
+    def score(qv, qs, vf, sf, vd):
+        b = vf.shape[0] // lp
+        s = video_scores_pallas_flat(qv, qs, vf, sf, n_videos=b, lp=lp,
+                                     interpret=interpret)
+        return jnp.where(vd[None, :], s, NEG_INF)
+
+    if mesh is None:
+        return score(qvt, qst, vf_flat, sf_flat, valid)
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    return shard_map(score, mesh=mesh,
+                     in_specs=(P(), P(), P("data"), P("data"), P("data")),
+                     out_specs=P(None, "data"), check_vma=False)(
+        qvt, qst, vf_flat, sf_flat, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("top_v",))
@@ -111,7 +187,10 @@ def _span_stage(model: XML, variables, cfg, vq, sq, vf2_g, sf2_g, mask_g,
     ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
     V = cfg.max_vcmr_video
     topv_exp = jnp.exp(cfg.q2c_alpha * topv_scores_cos)
-    vid_local, st_i, ed_i, scores = banded_topk_spans_grouped(
+    span_topk = (banded_topk_spans_grouped_shift
+                 if getattr(cfg, "span_topk_mode", "grouped") == "grouped_shift"
+                 else banded_topk_spans_grouped)   # bit-equal (ops/span.py)
+    vid_local, st_i, ed_i, scores = span_topk(
         st_probs[:, :V], ed_probs[:, :V], topv_exp, cfg.min_pred_l,
         cfg.max_pred_l, cfg.max_before_nms)
     out = dict(vcmr_vid_local=vid_local, vcmr_st=st_i, vcmr_ed=ed_i,
@@ -150,39 +229,56 @@ def streaming_score_query_batch(model: XML, variables, cfg,
                                        jnp.asarray(query_mask))
 
     # ---- phase 1: stream feat1 blocks, running top-V merge
-    n = host.video_feat1.shape[0]
+    n = host.n_videos if host.flat else host.video_feat1.shape[0]
     best_scores = jnp.full((nq, V), -jnp.inf, jnp.float32)
     best_idx = jnp.zeros((nq, V), jnp.int32)
+    interpret = bool(getattr(cfg, "pallas_interpret", False))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         n_dev = mesh.devices.size
-        block_videos = ((block_videos + n_dev - 1) // n_dev) * n_dev
+        # flat blocks additionally need a whole number of kernel chunks
+        # (chunk_v = 16 videos) per shard
+        mult = n_dev * (16 if host.flat else 1)
+        block_videos = ((block_videos + mult - 1) // mult) * mult
         block_sharding = NamedSharding(mesh, P("data"))
         put = lambda a: jax.device_put(a, block_sharding)
     else:
         put = jax.device_put
 
     def blocks():
+        lp = host.lp
         for off in range(0, n, block_videos):
             end = min(off + block_videos, n)
             pad = block_videos - (end - off)
-            vf = host.video_feat1[off:end]
-            sf = host.sub_feat1[off:end]
-            mk = host.mask[off:end]
-            if pad:
-                zpad = lambda a: np.concatenate(
-                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
-                vf, sf, mk = zpad(vf), zpad(sf), zpad(mk)
-            yield off, (put(vf), put(sf), put(mk))
+            zpad = lambda a, p: (a if not p else np.concatenate(
+                [a, np.zeros((p,) + a.shape[1:], a.dtype)]))
+            if host.flat:
+                # contiguous row-range slice of the video-major flat cache;
+                # pad videos are all-zero rows, masked to the exact -1e10
+                # einsum value via the validity vector
+                vf = zpad(host.video_feat1[off * lp:end * lp], pad * lp)
+                sf = zpad(host.sub_feat1[off * lp:end * lp], pad * lp)
+                vd = np.zeros((block_videos,), bool)
+                vd[: end - off] = host.video_valid[off:end]
+                yield off, (put(vf), put(sf), put(vd))
+            else:
+                vf = zpad(host.video_feat1[off:end], pad)
+                sf = zpad(host.sub_feat1[off:end], pad)
+                mk = zpad(host.mask[off:end], pad)
+                yield off, (put(vf), put(sf), put(mk))
 
     # double-buffer: device_put of the next block overlaps this block's matmul
     it = blocks()
     pending = next(it, None)
     while pending is not None:
-        off, (vf, sf, mk) = pending
+        off, (vf, sf, third) = pending
         pending = next(it, None)  # enqueue next host->HBM copy
-        scores = _block_scores(vqn, sqn, vf, sf, mk)
+        if host.flat:
+            scores = _block_scores_flat(vqn, sqn, vf, sf, third, lp=host.lp,
+                                        interpret=interpret, mesh=mesh)
+        else:
+            scores = _block_scores(vqn, sqn, vf, sf, third)
         best_scores, best_idx = _merge_topv(
             best_scores, best_idx, scores, jnp.int32(off), V)
 
