@@ -158,3 +158,61 @@ def test_device_prefetcher_preserves_order_and_propagates_errors():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_batched_builders_bit_identical_to_per_item():
+    """build_contexts / build_queries (the vectorized one-time-build path,
+    round-3 VERDICT #5) must be BIT-identical to the per-item context()/
+    query() across ctx modes — including TEF's exact f32 op order and the
+    video/sub length-alignment truncation."""
+    world = make_synthetic_world(n_videos=9, n_queries=14, max_clips=23,
+                                 seed=3)
+    for ctx_mode in ("video_sub_tef", "video_sub", "video_tef", "sub_tef",
+                     "video", "sub", "tef"):
+        builder = ExampleBuilder(
+            query_source=world.query_source,
+            video_source=world.video_source if "video" in ctx_mode else None,
+            sub_source=world.sub_source if "sub" in ctx_mode else None,
+            ctx_mode=ctx_mode, max_desc_l=16, max_ctx_l=23,
+            clip_length=world.clip_length)
+        names = world.corpus.vid_names
+        durs = world.corpus.durations
+        bv, bs, bm, bcl = builder.build_contexts(names, durs)
+        for i, (vid, dur) in enumerate(zip(names, durs)):
+            v, s, m, cl = builder.context(vid, dur)
+            np.testing.assert_array_equal(bv[i], v, err_msg=f"{ctx_mode} v{i}")
+            np.testing.assert_array_equal(bs[i], s, err_msg=f"{ctx_mode} s{i}")
+            np.testing.assert_array_equal(bm[i], m, err_msg=f"{ctx_mode} m{i}")
+            assert bcl[i] == cl, (ctx_mode, i)
+        ids = [r["desc_id"] for r in world.annotations[:10]]
+        bq, bqm = builder.build_queries(ids)
+        for i, d in enumerate(ids):
+            q, qm = builder.query(d)
+            np.testing.assert_array_equal(bq[i], q, err_msg=f"{ctx_mode} q{i}")
+            np.testing.assert_array_equal(bqm[i], qm)
+
+
+def test_batched_builders_length_mismatch_truncation():
+    """The off-by-a-clip h5 guard (context() truncates both streams to the
+    shorter) must survive vectorization."""
+    from tvretrieval_tpu.data.features import MemoryFeatureSource
+
+    rng = np.random.default_rng(0)
+    vids = {"a": rng.normal(size=(7, 4)).astype("f4"),
+            "b": rng.normal(size=(5, 4)).astype("f4")}
+    subs = {"a": rng.normal(size=(6, 3)).astype("f4"),   # shorter than video
+            "b": rng.normal(size=(5, 3)).astype("f4")}
+    qs = {"0": rng.normal(size=(4, 6)).astype("f4")}
+    builder = ExampleBuilder(
+        query_source=MemoryFeatureSource(qs),
+        video_source=MemoryFeatureSource(vids),
+        sub_source=MemoryFeatureSource(subs),
+        ctx_mode="video_sub_tef", max_desc_l=8, max_ctx_l=10,
+        clip_length=1.5)
+    bv, bs, bm, bcl = builder.build_contexts(["a", "b"], [10.0, 7.0])
+    assert bcl.tolist() == [6, 5]
+    for i, vid in enumerate(["a", "b"]):
+        v, s, m, cl = builder.context(vid, 10.0)
+        np.testing.assert_array_equal(bv[i], v)
+        np.testing.assert_array_equal(bs[i], s)
+        np.testing.assert_array_equal(bm[i], m)

@@ -151,19 +151,25 @@ class ContextTable:
 
     @classmethod
     def build(cls, builder: ExampleBuilder, corpus: CorpusIndex,
-              dtype_name: str = "float8_e4m3fn") -> "ContextTable":
+              dtype_name: str = "float8_e4m3fn",
+              chunk: int = 512) -> "ContextTable":
+        """Vectorized: chunks of videos go through the batched
+        ExampleBuilder.build_contexts (one normalize + one scatter per
+        chunk, bit-identical to the per-row path) and quantize as whole
+        blocks; ``chunk`` bounds the transient f32 chunk in host RAM."""
         nv = len(corpus)
         v0, s0, _, _ = builder.context(corpus.vid_names[0], corpus.durations[0])
         dt, _ = storage_dtype(dtype_name)
         v_feats = np.empty((nv,) + v0.shape, dt)
         s_feats = np.empty((nv,) + s0.shape, dt)
         ctx_l = np.empty((nv,), np.int32)
-        for i, (vid, dur) in enumerate(zip(corpus.vid_names, corpus.durations)):
-            v, s, _, cl = builder.context(vid, dur)
-            v_feats[i] = quantize(v, dtype_name)
-            s_feats[i] = quantize(s, dtype_name)
-            ctx_l[i] = cl
-            if i and i % 5000 == 0:
+        for i in range(0, nv, chunk):
+            v, s, _, cl = builder.build_contexts(
+                corpus.vid_names[i:i + chunk], corpus.durations[i:i + chunk])
+            v_feats[i:i + chunk] = quantize(v, dtype_name)
+            s_feats[i:i + chunk] = quantize(s, dtype_name)
+            ctx_l[i:i + chunk] = cl
+            if i and i % 5120 < chunk:
                 logger.info("context table: %d/%d videos", i, nv)
         return cls(v_feats=v_feats, s_feats=s_feats, ctx_l=ctx_l,
                    dtype_name=dtype_name, use_video=builder.use_video,
@@ -207,7 +213,9 @@ class QueryTable:
     def build(cls, builder: ExampleBuilder, rows: List[dict],
               corpus: CorpusIndex, ctx_l: np.ndarray,
               dtype_name: str = "float8_e4m3fn",
-              eval_labels: bool = False) -> "QueryTable":
+              eval_labels: bool = False, chunk: int = 4096) -> "QueryTable":
+        """Vectorized like ContextTable.build: chunks of rows go through the
+        batched ExampleBuilder.build_queries + block quantize."""
         nq = len(rows)
         vid2slot = {v: i for i, v in enumerate(corpus.vid_names)}
         dt, _ = storage_dtype(dtype_name)
@@ -216,17 +224,19 @@ class QueryTable:
         slot = np.empty((nq,), np.int32)
         st_ed = np.empty((nq, 2), np.int32)
         label_fn = eval_st_ed_label if eval_labels else train_st_ed_label
+        for i in range(0, nq, chunk):
+            qf, qm = builder.build_queries(
+                [r["desc_id"] for r in rows[i:i + chunk]])
+            q_full[i:i + chunk] = quantize(qf, dtype_name)
+            q_len[i:i + chunk] = qm.sum(axis=1).astype(np.int32)
+            if i and i % 20480 < chunk:
+                logger.info("query table: %d/%d rows", i, nq)
         for i, row in enumerate(rows):
-            qf, qm = builder.query(row["desc_id"])
-            q_full[i] = quantize(qf, dtype_name)
-            q_len[i] = int(qm.sum())
             s = vid2slot[row["vid_name"]]
             slot[i] = s
             ts = resolve_ts(row, builder.dset_name)
             st_ed[i] = label_fn(ts, builder.clip_length,
                                 max_idx=int(ctx_l[s]) - 1)
-            if i and i % 20000 == 0:
-                logger.info("query table: %d/%d rows", i, nq)
         l_eff = max(int(q_len.max()), 1) if nq else 1
         return cls(q_feats=np.ascontiguousarray(q_full[:, :l_eff]),
                    q_len=q_len, slot=slot, st_ed=st_ed,

@@ -413,13 +413,14 @@ class XML(nn.Module):
         one sum vs two K=D sums added).
 
         sim_dtype: optional storage dtype for the corpus-wide similarity
-        (e.g. jnp.bfloat16 — engine mode "simsweep_cat_bf16"). XLA fuses the
-        cast into the einsum epilogue, halving the (Nq, Nv, L) HBM write —
-        the dominant traffic of the whole span stage at corpus scale. The
-        dot still accumulates f32; rounding enters ONCE, on the stored
+        (e.g. jnp.bfloat16 — engine mode "simsweep_cat_bf16"). The dot
+        still accumulates f32; rounding enters ONCE, on the stored
         similarity (relative error <= 2^-9), and the gathered rows are
-        upcast so conv/softmax stay f32. Metric impact on a trained
-        checkpoint is committed in BENCH_NOTES (engine-mode A/B).
+        upcast so conv/softmax stay f32 (tolerance-tested on CPU). On the
+        TPU toolchain in this image the rounding is ELIDED by XLA's
+        excess-precision rule and outputs measure bit-equal to
+        sim_dtype=None at the same speed (BENCH_NOTES round 3) — the knob
+        is for backends/flags where the narrow store is real.
         """
         c = self.cfg
         assert c.use_video and c.use_sub and c.span_predictor_type == "conv"
@@ -429,7 +430,12 @@ class XML(nn.Module):
         sim = jnp.einsum("qd,nld->qnl", qcat.astype(feat2_cat.dtype),
                          feat2_cat, preferred_element_type=jnp.float32)
         if sim_dtype is not None:
-            sim = sim.astype(sim_dtype)
+            # optimization_barrier pins the narrow buffer: XLA-TPU's
+            # excess-precision rule (xla_allow_excess_precision, default on)
+            # otherwise deletes the f32 -> bf16 -> f32 round-trip, silently
+            # keeping the f32 similarity (verified on-chip: outputs came
+            # back bit-equal and the AOT temp did not shrink)
+            sim = jax.lax.optimization_barrier(sim.astype(sim_dtype))
         similarity = jnp.take_along_axis(
             sim, gather_idx[:, :, None], axis=1).astype(jnp.float32)
         mask_g = context_mask[gather_idx]                # (Nq, V, L)

@@ -72,11 +72,21 @@ def main() -> None:
                   ("gather", "simsweep"), ("einsum", "pallas"))])
     feat2_cat = (jnp.concatenate([vf2, sf2], axis=-1)
                  if any(c.startswith("simsweep_cat") for c in combos) else None)
+    if all(c.startswith("simsweep_cat") for c in combos):
+        # every combo reads feat2 through the cat cache — free the two
+        # stream copies (HBM headroom: all layouts at once OOM at nq=800)
+        vf2.delete()
+        sf2.delete()
+        vf2 = sf2 = None
     vf1_flat = sf1_flat = None
     if any(c.split("/")[1] == "pallas" for c in combos):
         from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
         vf1_flat = build_flat_feat1(vf1, mask)
         sf1_flat = build_flat_feat1(sf1, mask)
+        if all(c.split("/")[1] == "pallas" for c in combos):
+            vf1.delete()
+            sf1.delete()
+            vf1 = sf1 = None
     ref_spans = None
     for combo in combos:
         parts = combo.split("/")

@@ -59,13 +59,18 @@ class RetrievalConfig:
     #               (encode_corpus stores feat2_cat instead of the two
     #               streams); halves the similarity write traffic
     #   "simsweep_cat_bf16": simsweep_cat with the corpus-wide similarity
-    #               STORED bf16 (cast fused into the einsum epilogue —
-    #               halves the (Nq, Nv, L) write, the span stage's dominant
-    #               HBM traffic, and ~halves its HBM footprint). Gathered
-    #               rows are upcast to f32 before conv/softmax, so rounding
-    #               enters once (rel <= 2^-9) on the stored similarity;
-    #               metric-level impact on a trained checkpoint is the
-    #               engine-mode A/B committed in BENCH_NOTES
+    #               declared bf16 (rounding rel <= 2^-9, one rounding, f32
+    #               conv/softmax downstream — tolerance-tested on CPU).
+    #               MEASURED REALITY on this TPU toolchain: XLA's
+    #               excess-precision rule (xla_allow_excess_precision,
+    #               default on) keeps f32 values and the sweep is MXU-bound
+    #               with the gather fused, so outputs come back BIT-EQUAL to
+    #               simsweep_cat at identical speed (engine_modes, corpus
+    #               scale, batches 800/1200 — BENCH_NOTES round 3). The mode
+    #               matters where the similarity IS materialized narrow:
+    #               other backends, XLA_FLAGS=--xla_allow_excess_precision
+    #               =false, or corpora large enough that the f32 buffer
+    #               cannot fit.
     #   "gather":   gather top-V feature rows, then sim+conv (round-2 path)
     span_score_mode: str = "gather"
     # video-level q2c stage:
