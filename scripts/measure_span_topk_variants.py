@@ -16,7 +16,11 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -49,7 +53,7 @@ def main():
     def timeit(name, fn, *xs):
         out = fn(*xs)
         fence = lambda o: jax.device_get(
-            (o[0] if isinstance(o, tuple) else o).ravel()[0])
+            (o[0] if isinstance(o, (tuple, list)) else o).ravel()[0])
         fence(out)
         fence(fn(*xs))
         t0 = time.perf_counter()

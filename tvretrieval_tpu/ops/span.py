@@ -97,9 +97,11 @@ def topk_stable_blocked(scores: jnp.ndarray, k: int, block: int = 16):
     so the expanded candidate pool is in original index order, making the
     final stable top_k's position tie-break the original-index tie-break.
 
-    block=16 measured fastest at both engine call shapes on v5e
-    ((800, 21818) k=100: 5.9 ms vs lax 8.8; (800, 10000) k=200: 7.5 vs
-    lax 10.1; block sweep in BENCH_NOTES — bit-exact at every block size).
+    Block-size sweeps on v5e (bit-exact at every block size): the video
+    row ((800, 21818) k=100) runs fastest at the default block=16 (4.63 ms
+    vs lax 7.45); the span group row ((800, 10400) k=200) at block=8
+    (5.37 ms vs 6.14 at 16, lax 8.53) — callers pass block per shape
+    (scripts/measure_span_topk_variants.py, BENCH_NOTES rounds 2-3).
     """
     nq, n = scores.shape
     if n <= k or n <= 2 * block:
@@ -264,8 +266,11 @@ def banded_topk_spans_grouped(st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
     # tie-break (a 2-key lax.sort is ~4x slower than top_k on TPU)
     k_groups = min(top_n, v * L)
     # topk_stable_blocked is bit-equal to lax.top_k (same stable tie order)
-    # and prunes most of the V*L group row before sorting
-    _, gidx = topk_stable_blocked(gmax.reshape(nq, v * L), k_groups)  # (Nq, G)
+    # and prunes most of the V*L group row before sorting; block=8 measured
+    # fastest at the group-row shape ((800, 10400) k=200: 5.37 ms vs 6.14
+    # at block 16 — scripts/measure_span_topk_variants.py, BENCH_NOTES r3)
+    _, gidx = topk_stable_blocked(gmax.reshape(nq, v * L), k_groups,
+                                  block=8)                        # (Nq, G)
     gidx = jax.lax.sort(gidx, dimension=1)
     g_vid = gidx // L
     g_st = gidx % L
@@ -351,7 +356,9 @@ def banded_topk_spans_grouped_shift(st_probs: jnp.ndarray, ed_probs: jnp.ndarray
                 - (1.0 - keep_mask)[:, :, None])
 
     k_groups = min(top_n, v * L)
-    _, gidx = topk_stable_blocked(gmax.reshape(nq, v * L), k_groups)  # (Nq, G)
+    # block=8: fastest at the group-row shape (see banded_topk_spans_grouped)
+    _, gidx = topk_stable_blocked(gmax.reshape(nq, v * L), k_groups,
+                                  block=8)                        # (Nq, G)
     gidx = jax.lax.sort(gidx, dimension=1)
     g_vid = gidx // L
     g_st = gidx % L
