@@ -103,12 +103,23 @@ def main():
 
     vf1_flat = build_flat_feat1(vf1, mask)
     sf1_flat = build_flat_feat1(sf1, mask)
+    from tvretrieval_tpu.ops.pallas_score import (quantize_unit_i8,
+                                                  video_scores_pallas_flat_i8)
+    vf1_i8, sf1_i8 = quantize_unit_i8(vf1_flat), quantize_unit_i8(sf1_flat)
 
     @jax.jit
     def s_vscore_pallas(vq, sq, vf1_flat, sf1_flat):
         return video_scores_pallas_flat(
             normq(vq, vf1_flat).T, normq(sq, sf1_flat).T,
             vf1_flat, sf1_flat, n_videos=N_VIDEOS, interpret=interp)
+
+    @jax.jit
+    def s_vscore_i8(vq, sq, vf1_i8, sf1_i8):
+        nrm = lambda q: q / (jnp.linalg.norm(q, axis=-1, keepdims=True)
+                             + 1e-12)
+        return video_scores_pallas_flat_i8(
+            quantize_unit_i8(nrm(vq)).T, quantize_unit_i8(nrm(sq)).T,
+            vf1_i8, sf1_i8, n_videos=N_VIDEOS, interpret=interp)
 
     @jax.jit
     def s_vscore_einsum(vq, sq, vf1, sf1, mask):
@@ -155,6 +166,8 @@ def main():
         "encode_query": lambda: s_encode_q(variables, q_feat, q_mask),
         "video_score_pallas": lambda: s_vscore_pallas(vq, sq, vf1_flat,
                                               sf1_flat),
+        "video_score_pallas_int8": lambda: s_vscore_i8(vq, sq, vf1_i8,
+                                                       sf1_i8),
         "video_score_einsum": lambda: s_vscore_einsum(vq, sq, vf1, sf1, mask),
         "video_topk": lambda: s_topv(q2c),
         "span_sim_gather_conv_softmax": lambda: s_span_sim(
@@ -169,7 +182,8 @@ def main():
         ms = time_stage(fn)
         # the fused program runs grouped_shift; the band-expansion stage is
         # measured for comparison but excluded from the modeled sum
-        if name not in ("video_score_einsum", "grouped_topk_spans"):
+        if name not in ("video_score_einsum", "video_score_pallas_int8",
+                        "grouped_topk_spans"):
             total_modeled += ms
         print(f"{name:32s} {ms:8.2f} ms", flush=True)
     print(f"{'sum (pallas path, upper bound)':32s} {total_modeled:8.2f} ms")

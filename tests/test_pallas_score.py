@@ -103,3 +103,45 @@ def test_flat_cache_rejects_fully_masked_video():
     mask = mask.at[4].set(0.0)
     with pytest.raises(ValueError, match="no valid clip"):
         build_flat_feat1(fv, mask, lp=8, chunk_v=8)
+
+
+@pytest.mark.parametrize("nq,nv,l,d,lp,chunk_v", [
+    (6, 37, 12, 16, 16, 8),
+    (3, 16, 7, 8, 8, 4),
+])
+def test_int8_kernel_bit_equal_to_int8_xla(nq, nv, l, d, lp, chunk_v):
+    """The s8 kernel's integer accumulation and max are EXACT: bit-equal
+    to the XLA int32 reference on the same quantized inputs (the only
+    approximation in video_score_mode='pallas_int8' is the quantization
+    itself, bounded below)."""
+    from tvretrieval_tpu.ops.pallas_score import (
+        build_flat_feat1, quantize_unit_i8, video_scores_int8_xla,
+        video_scores_pallas_flat_i8)
+    qv, qs, fv, fs, mask = _case(nq, nv, l, d, jnp.float32, seed=nq + nv)
+    fvf = quantize_unit_i8(build_flat_feat1(fv, mask, lp=lp, chunk_v=chunk_v))
+    fsf = quantize_unit_i8(build_flat_feat1(fs, mask, lp=lp, chunk_v=chunk_v))
+    qv8, qs8 = quantize_unit_i8(qv), quantize_unit_i8(qs)
+    ref = video_scores_int8_xla(qv8, qs8, fvf, fsf, nv, lp=lp)
+    out = video_scores_pallas_flat_i8(qv8.T, qs8.T, fvf, fsf, nv,
+                                      lp=lp, chunk_v=chunk_v, interpret=True)
+    assert out.dtype == jnp.float32 and out.shape == (nq, nv)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_int8_quantization_error_bound():
+    """Quantized cosine scores stay within the documented error budget of
+    the exact f32 path: per-component error <= 1/254 on unit-norm rows
+    gives |err| <~ 2 * sqrt(D) / 254 worst-case; assert a 0.02 ceiling and
+    a much tighter mean (std model: sqrt(2/3)/254 ~ 0.0032)."""
+    from tvretrieval_tpu.ops.pallas_score import (
+        build_flat_feat1, quantize_unit_i8, video_scores_int8_xla)
+    nq, nv, l, d, lp = 16, 64, 10, 64, 16
+    qv, qs, fv, fs, mask = _case(nq, nv, l, d, jnp.float32, seed=123)
+    ref = video_scores_xla(qv, qs, fv, fs, mask)
+    fvf = quantize_unit_i8(build_flat_feat1(fv, mask, lp=lp, chunk_v=8))
+    fsf = quantize_unit_i8(build_flat_feat1(fs, mask, lp=lp, chunk_v=8))
+    out = video_scores_int8_xla(quantize_unit_i8(qv), quantize_unit_i8(qs),
+                                fvf, fsf, nv, lp=lp)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert err.max() < 0.02, err.max()
+    assert err.mean() < 0.005, err.mean()

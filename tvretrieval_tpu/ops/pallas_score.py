@@ -223,6 +223,91 @@ def build_flat_feat1(feat1, mask, lp: int | None = None, chunk_v: int = 16,
     return _build_flat_feat1(feat1, mask, lp=lp, chunk_v=chunk_v)
 
 
+def _score_kernel_flat_i8(qvt_ref, qst_ref, fv_ref, fs_ref, out_ref, *,
+                          chunk_v: int, lp: int):
+    """int8 twin of _score_kernel_flat: s8 x s8 -> s32 MXU dots (2x the
+    bf16 FLOP rate on v5e), exact integer per-video max, ONE f32 rescale
+    of the (chunk_v, Nq) maxima. The only rounding in the whole stage is
+    the input quantization (see quantize_unit_i8)."""
+    dn = (((1,), (0,)), ((), ()))
+    nq = qvt_ref.shape[1]
+    sv = jax.lax.dot_general(fv_ref[...], qvt_ref[...], dn,
+                             preferred_element_type=jnp.int32)
+    ss = jax.lax.dot_general(fs_ref[...], qst_ref[...], dn,
+                             preferred_element_type=jnp.int32)
+    mv = sv.reshape(chunk_v, lp, nq).max(axis=1)
+    ms = ss.reshape(chunk_v, lp, nq).max(axis=1)
+    out_ref[...] = (mv + ms).astype(jnp.float32) * (0.5 / (127.0 * 127.0))
+
+
+@functools.partial(jax.jit, static_argnames=("n_videos", "lp", "chunk_v",
+                                             "interpret"))
+def video_scores_pallas_flat_i8(qvt_i8, qst_i8, fv_flat_i8, fs_flat_i8,
+                                n_videos: int, lp: int = 104,
+                                chunk_v: int = 16, interpret: bool = False):
+    """video_scores_pallas_flat on int8-quantized flat caches.
+
+    Engine mode ``video_score_mode="pallas_int8"``: the L2-normalized flat
+    feat1 caches and the normalized queries are symmetrically quantized
+    with scale 127 (quantize_unit_i8), the dots run s8 x s8 -> s32 on the
+    MXU (394 TOPS on v5e vs 197 bf16 TFLOPs — measured 1.7x on the full
+    stage, BENCH_NOTES round 3), and the cache HBM halves (the 1M-video
+    sharded-capacity lever). Integer accumulation and max are EXACT — the
+    kernel is bit-equal to the XLA int8 reference (video_scores_int8_xla,
+    tests/test_pallas_score.py); the only approximation is the input
+    quantization: per-component error <= 1/254, cosine-score error std
+    sqrt(2/3)/254 ~= 0.0032 (measured max ~1.5e-2 on random data; the
+    trained-checkpoint metric A/B in BENCH_NOTES is the accuracy
+    contract). Reference op: model_xml.py:436-453 at inference.py:308-317
+    (an approximate-scoring mode the reference does not have).
+    """
+    rows, d = fv_flat_i8.shape
+    nv_pad = rows // lp
+    assert nv_pad % chunk_v == 0 and nv_pad * lp == rows
+    nq = qvt_i8.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_score_kernel_flat_i8, chunk_v=chunk_v, lp=lp),
+        grid=(nv_pad // chunk_v,),
+        in_specs=[
+            pl.BlockSpec((d, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_v * lp, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_v * lp, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk_v, nq), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nv_pad, nq), jnp.float32),
+        interpret=interpret,
+    )(qvt_i8, qst_i8, fv_flat_i8, fs_flat_i8)
+    return out.T[:, :n_videos]
+
+
+@jax.jit
+def quantize_unit_i8(x):
+    """Symmetric int8 quantization for unit-norm rows: round(127 * x),
+    clipped. Components of an L2-normalized row lie in [-1, 1], so the
+    per-component error is <= 1/254 (round-to-nearest-even)."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * 127.0),
+                    -127, 127).astype(jnp.int8)
+
+
+def video_scores_int8_xla(qv_i8, qs_i8, fv_flat_i8, fs_flat_i8,
+                          n_videos: int, lp: int):
+    """Integer-exact XLA reference for the int8 kernel (tests; small shapes
+    only — the (Nq, Nv*lp) s32 intermediate is materialized here, which the
+    kernel never does)."""
+    def one(q, f):
+        s = jax.lax.dot_general(
+            q.astype(jnp.int32), f.astype(jnp.int32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+        return s.reshape(s.shape[0], -1, lp).max(axis=2)
+    out = ((one(qv_i8, fv_flat_i8) + one(qs_i8, fs_flat_i8))
+           .astype(jnp.float32) * (0.5 / (127.0 * 127.0)))
+    return out[:, :n_videos]
+
+
 def video_scores_xla(qv, qs, feat1_v, feat1_s, mask):
     """The engine's einsum path (scores_prenormalized without the query
     normalization, which the caller has already applied) — the exactness

@@ -69,7 +69,8 @@ def shard_corpus_cache(cache, mesh: Mesh, cfg=None, chunk_v: int = 16):
             "(Nv, L, D) cache and let shard_corpus_cache build the per-shard "
             "flat layout (cfg with video_score_mode='pallas')")
     if cfg is not None:
-        pallas = (getattr(cfg, "video_score_mode", "einsum") == "pallas"
+        pallas = (getattr(cfg, "video_score_mode", "einsum")
+                  in ("pallas", "pallas_int8")
                   and cache.video_feat1 is not None
                   and cache.sub_feat1 is not None)
         mult = mesh.devices.size * (chunk_v if pallas else 1)
@@ -80,13 +81,19 @@ def shard_corpus_cache(cache, mesh: Mesh, cfg=None, chunk_v: int = 16):
         (cache.video_feat1, cache.video_feat2, cache.sub_feat1,
          cache.sub_feat2, cache.mask, cache.feat2_cat) = arrs
         if pallas:
-            from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
+            from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
+                                                          quantize_unit_i8)
             # check=False: pad videos are fully masked by construction; the
             # shard program re-masks their scores to the exact einsum value
             cache.video_feat1 = build_flat_feat1(
                 cache.video_feat1, cache.mask, chunk_v=chunk_v, check=False)
             cache.sub_feat1 = build_flat_feat1(
                 cache.sub_feat1, cache.mask, chunk_v=chunk_v, check=False)
+            if getattr(cfg, "video_score_mode", "") == "pallas_int8":
+                # halves per-shard feat1 HBM; shard_fn dispatches the s8
+                # kernel on the int8 dtype (engine.py "pallas_int8")
+                cache.video_feat1 = quantize_unit_i8(cache.video_feat1)
+                cache.sub_feat1 = quantize_unit_i8(cache.sub_feat1)
     sh = NamedSharding(mesh, P("data"))
     put = lambda x: None if x is None else jax.device_put(x, sh)
     cache.video_feat1 = put(cache.video_feat1)
@@ -171,14 +178,23 @@ def score_query_batch_sharded(model: XML, variables, cfg,
                 # einsum-path -1e10 from the mask so selection matches.
                 from tvretrieval_tpu.ops.masking import NEG_INF
                 from tvretrieval_tpu.ops.pallas_score import (
-                    flat_lp, video_scores_pallas_flat)
-                normcast = lambda q, feat: (
-                    q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
-                ).astype(feat.dtype)
-                q2c = video_scores_pallas_flat(
-                    normcast(vq, vf1).T, normcast(sq, sf1).T, vf1, sf1,
-                    n_videos=nv_local, lp=flat_lp(cmask.shape[1]),
-                    interpret=getattr(cfg, "pallas_interpret", False))
+                    flat_lp, quantize_unit_i8, video_scores_pallas_flat,
+                    video_scores_pallas_flat_i8)
+                normq = lambda q: q / (jnp.linalg.norm(
+                    q, axis=-1, keepdims=True) + 1e-12)
+                if vf1.dtype == jnp.int8:
+                    # int8-quantized per-shard flat caches (pallas_int8)
+                    q2c = video_scores_pallas_flat_i8(
+                        quantize_unit_i8(normq(vq)).T,
+                        quantize_unit_i8(normq(sq)).T, vf1, sf1,
+                        n_videos=nv_local, lp=flat_lp(cmask.shape[1]),
+                        interpret=getattr(cfg, "pallas_interpret", False))
+                else:
+                    normcast = lambda q, feat: normq(q).astype(feat.dtype)
+                    q2c = video_scores_pallas_flat(
+                        normcast(vq, vf1).T, normcast(sq, sf1).T, vf1, sf1,
+                        n_videos=nv_local, lp=flat_lp(cmask.shape[1]),
+                        interpret=getattr(cfg, "pallas_interpret", False))
                 has_clip = cmask.max(axis=1) > 0                  # (nv_local,)
                 q2c = jnp.where(has_clip[None, :], q2c, NEG_INF)
             else:

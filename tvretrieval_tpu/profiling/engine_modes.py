@@ -78,12 +78,16 @@ def main() -> None:
         vf2.delete()
         sf2.delete()
         vf2 = sf2 = None
-    vf1_flat = sf1_flat = None
-    if any(c.split("/")[1] == "pallas" for c in combos):
-        from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
+    vf1_flat = sf1_flat = vf1_i8 = sf1_i8 = None
+    if any(c.split("/")[1] in ("pallas", "pallas_int8") for c in combos):
+        from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
+                                                      quantize_unit_i8)
         vf1_flat = build_flat_feat1(vf1, mask)
         sf1_flat = build_flat_feat1(sf1, mask)
-        if all(c.split("/")[1] == "pallas" for c in combos):
+        if any(c.split("/")[1] == "pallas_int8" for c in combos):
+            vf1_i8 = quantize_unit_i8(vf1_flat)
+            sf1_i8 = quantize_unit_i8(sf1_flat)
+        if all(c.split("/")[1] in ("pallas", "pallas_int8") for c in combos):
             vf1.delete()
             sf1.delete()
             vf1 = sf1 = None
@@ -100,8 +104,8 @@ def main() -> None:
                                    video_topk_pre_exp=pre_exp)
         kw = ({"feat2_cat": feat2_cat}
               if span_mode.startswith("simsweep_cat") else {})
-        f1v = vf1_flat if vid_mode == "pallas" else vf1
-        f1s = sf1_flat if vid_mode == "pallas" else sf1
+        f1v = {"pallas": vf1_flat, "pallas_int8": vf1_i8}.get(vid_mode, vf1)
+        f1s = {"pallas": sf1_flat, "pallas_int8": sf1_i8}.get(vid_mode, sf1)
         run = lambda: _score_query_batch(model, variables, rcfg, qf, qm,
                                          f1v, vf2, f1s, sf2, mask, gt, True,
                                          **kw)

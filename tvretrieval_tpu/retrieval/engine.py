@@ -81,6 +81,16 @@ class RetrievalConfig:
     #             (build_flat_feat1) and each grid step runs ONE large MXU
     #             dot per stream; bit-equal to "einsum"
     #             (tests/test_pallas_score.py)
+    #   "pallas_int8": the flat caches and the normalized queries are
+    #             symmetrically int8-quantized (scale 127 — rows are
+    #             L2-normalized) and the dots run s8 x s8 -> s32 on the
+    #             MXU: 1.7x the bf16 kernel stage time and HALF the feat1
+    #             HBM (the 1M-video capacity lever). Integer accumulation
+    #             and max are exact (kernel bit-equal to the XLA int8
+    #             reference); the ONLY approximation is the input
+    #             quantization (cosine err std ~0.0032). NOT a parity
+    #             mode: accuracy contract = the trained-checkpoint metric
+    #             A/B in BENCH_NOTES round 3.
     video_score_mode: str = "einsum"
     # VCMR span top-k candidate expansion (both bit-equal to the flat
     # banded top-k; see ops/span.py):
@@ -209,13 +219,20 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
         feat2_cat = jnp.concatenate([vf2_all, sf2_all], axis=-1)
         vf2_all = sf2_all = None
     vf1_all, sf1_all, mask_all = cat("vf1"), cat("sf1"), cat("mask")
-    if (cfg.video_score_mode == "pallas" and vf1_all is not None
+    if (cfg.video_score_mode in ("pallas", "pallas_int8")
+            and vf1_all is not None
             and sf1_all is not None and _uses_fast_path(model)):
         # flat mask-free layout consumed by video_scores_pallas_flat
         # (one-time relayout; same HBM +4% length pad)
-        from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
+        from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
+                                                      quantize_unit_i8)
         vf1_all = build_flat_feat1(vf1_all, mask_all)
         sf1_all = build_flat_feat1(sf1_all, mask_all)
+        if cfg.video_score_mode == "pallas_int8":
+            # rows are L2-normalized: symmetric scale-127 quantization
+            # (halves the feat1 HBM; consumed by the s8 MXU kernel)
+            vf1_all = quantize_unit_i8(vf1_all)
+            sf1_all = quantize_unit_i8(sf1_all)
     return CorpusCache(
         video_feat1=vf1_all, video_feat2=vf2_all,
         sub_feat1=sf1_all, sub_feat2=sf2_all,
@@ -288,13 +305,18 @@ def encode_corpus_resident(model: XML, variables, device_data,
 
     vf1_all, sf1_all = bufs.pop("vf1", None), bufs.pop("sf1", None)
     get = bufs.get
-    if (cfg.video_score_mode == "pallas" and vf1_all is not None
+    if (cfg.video_score_mode in ("pallas", "pallas_int8")
+            and vf1_all is not None
             and sf1_all is not None and _uses_fast_path(model)):
         # pop + rebind so the (Nv, L, D) source frees as each flat copy
         # materializes — this path exists to avoid transient cache doubling
-        from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
+        from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
+                                                      quantize_unit_i8)
         vf1_all = build_flat_feat1(vf1_all, bufs["mask"])
         sf1_all = build_flat_feat1(sf1_all, bufs["mask"])
+        if cfg.video_score_mode == "pallas_int8":
+            vf1_all = quantize_unit_i8(vf1_all)
+            sf1_all = quantize_unit_i8(sf1_all)
     return CorpusCache(
         video_feat1=vf1_all, video_feat2=get("vf2"),
         sub_feat1=sf1_all, sub_feat2=get("sf2"),
@@ -343,20 +365,31 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
                            preferred_element_type=jnp.float32)
             return mask_logits(s, ctx_mask.T[None]).max(axis=1)
 
-        if cfg.video_score_mode == "pallas":
+        if cfg.video_score_mode in ("pallas", "pallas_int8"):
             # feat1 slots carry the FLAT mask-free caches (Nv_pad * LP, D)
             # built by ops.pallas_score.build_flat_feat1 at cache build;
             # ctx_mask keeps the true (Nv, L) shape for the span stage
             from tvretrieval_tpu.ops.pallas_score import (
-                flat_lp, video_scores_pallas_flat)
-            normcast = lambda q, feat: (
-                q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
-            ).astype(feat.dtype)
-            q2c = video_scores_pallas_flat(
-                normcast(vq, video_feat1).T, normcast(sq, sub_feat1).T,
-                video_feat1, sub_feat1, n_videos=ctx_mask.shape[0],
-                lp=flat_lp(ctx_mask.shape[1]),
-                interpret=getattr(cfg, "pallas_interpret", False))
+                flat_lp, quantize_unit_i8, video_scores_pallas_flat,
+                video_scores_pallas_flat_i8)
+            normq = lambda q: q / (jnp.linalg.norm(q, axis=-1,
+                                                   keepdims=True) + 1e-12)
+            if cfg.video_score_mode == "pallas_int8":
+                # caches were quantized at build; quantize the normalized
+                # queries the same way (s8 x s8 -> s32 MXU dots)
+                q2c = video_scores_pallas_flat_i8(
+                    quantize_unit_i8(normq(vq)).T,
+                    quantize_unit_i8(normq(sq)).T,
+                    video_feat1, sub_feat1, n_videos=ctx_mask.shape[0],
+                    lp=flat_lp(ctx_mask.shape[1]),
+                    interpret=getattr(cfg, "pallas_interpret", False))
+            else:
+                normcast = lambda q, feat: normq(q).astype(feat.dtype)
+                q2c = video_scores_pallas_flat(
+                    normcast(vq, video_feat1).T, normcast(sq, sub_feat1).T,
+                    video_feat1, sub_feat1, n_videos=ctx_mask.shape[0],
+                    lp=flat_lp(ctx_mask.shape[1]),
+                    interpret=getattr(cfg, "pallas_interpret", False))
         else:
             v_scores = scores_prenormalized(vq, video_feat1)
             s_scores = scores_prenormalized(sq, sub_feat1)

@@ -40,7 +40,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--span_score_mode", type=str, default=None,
                    choices=["gather", "simsweep", "simsweep_cat", "simsweep_cat_bf16"])
     p.add_argument("--video_score_mode", type=str, default=None,
-                   choices=["einsum", "pallas"])
+                   choices=["einsum", "pallas", "pallas_int8"])
     p.add_argument("--span_topk_mode", type=str, default=None,
                    choices=["grouped", "grouped_shift"])
     p.add_argument("--eval_cache_dtype", type=str, default=None,

@@ -147,7 +147,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "simsweep_cat is fastest, gather is the bit-exact "
                         "reference-faithful default)")
     p.add_argument("--video_score_mode", type=str, default="einsum",
-                   choices=["einsum", "pallas"],
+                   choices=["einsum", "pallas", "pallas_int8"],
                    help="retrieval-eval video-level scoring path")
     p.add_argument("--span_topk_mode", type=str, default="grouped",
                    choices=["grouped", "grouped_shift"],
