@@ -19,7 +19,13 @@ Nq/V from argv):
   3. quantization error of the gathered similarity vs the f32 path
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
-           python scripts/measure_int8_sweep.py [query_bsz=800] [V=101]
+           python scripts/measure_int8_sweep.py [query_bsz=400] [V=101]
+
+Note on query_bsz: ISOLATED from the engine program, XLA materializes the
+(Nq, Nv, L) sim twice (fusion output + a layout copy feeding the gather) —
+at Nq=800 that is 2 x 6.5 GB f32 and the compile OOMs at 16.93/15.75 GB
+HBM. Nq=400 fits; the bf16-vs-int8 RATE ratio is what the study needs and
+it is Nq-independent (both paths are MXU-bound).
 """
 import functools
 import sys
@@ -80,7 +86,7 @@ def quant_rows(x, axis):
 
 
 def main():
-    nq = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+    nq = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     v = int(sys.argv[2]) if len(sys.argv) > 2 else 101
 
     ks = jax.random.split(jax.random.PRNGKey(0), 3)

@@ -51,7 +51,12 @@ def _run(model, variables, rcfg, cache, qb, n_videos, mode):
     qm = jnp.asarray(qb.query_mask)
     gt = jnp.asarray(np.arange(qf.shape[0]) % n_videos, jnp.int32)
     kw = {}
-    if mode.startswith("simsweep_cat"):
+    if mode == "simsweep_cat_int8":
+        from tvretrieval_tpu.ops.pallas_score import quantize_rows_i8
+        f2c = jnp.concatenate(
+            [cache.video_feat2, cache.sub_feat2], axis=-1)
+        kw["feat2_cat"], kw["feat2_cat_scale"] = quantize_rows_i8(f2c)
+    elif mode.startswith("simsweep_cat"):
         kw["feat2_cat"] = jnp.concatenate(
             [cache.video_feat2, cache.sub_feat2], axis=-1)
     out = _score_query_batch(model, variables, rcfg, qf, qm,
@@ -128,6 +133,72 @@ def test_simsweep_cat_bf16_close_to_cat(setup):
     assert same.mean() > 0.95
     np.testing.assert_allclose(out["svmr_scores"], ref["svmr_scores"],
                                rtol=2e-2, atol=1e-6)
+
+
+def test_simsweep_cat_int8_close_to_cat(setup):
+    """The int8-stored concatenated cache: video ranking is untouched
+    (bit-equal — the span-score mode never feeds the video stage) and span
+    scores agree within the two input quantization roundings (per
+    component <= row_max/254 on each side; integer accumulation exact).
+    Candidate identity holds wherever ranked-score margins exceed that."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos,
+               "simsweep_cat")
+    out = _run(model, variables, rcfg, cache, qb, cache.n_videos,
+               "simsweep_cat_int8")
+    np.testing.assert_array_equal(out["topv_idx"], ref["topv_idx"])
+    np.testing.assert_array_equal(out["topv_scores"], ref["topv_scores"])
+    np.testing.assert_allclose(out["vcmr_scores"], ref["vcmr_scores"],
+                               rtol=0.2, atol=1e-5)
+    same = ((out["vcmr_vid_local"] == ref["vcmr_vid_local"])
+            & (out["vcmr_st"] == ref["vcmr_st"])
+            & (out["vcmr_ed"] == ref["vcmr_ed"]))
+    # tiny random fixture (hidden 16, near-uniform probs) is the worst
+    # case for rank stability under quantization noise — the trained-
+    # checkpoint A/B (BENCH_NOTES round 3) is the accuracy contract
+    assert same.mean() > 0.75
+    np.testing.assert_allclose(out["svmr_scores"], ref["svmr_scores"],
+                               rtol=0.2, atol=1e-5)
+
+
+def test_simsweep_cat_int8_cache_build_and_retrieve(setup):
+    """encode_corpus under span_score_mode='simsweep_cat_int8' stores an
+    int8 feat2_cat + (Nv, L) f32 scales, and the engine consumes them
+    end-to-end with the video ranking bit-equal to the gather path."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    icfg = dataclasses.replace(rcfg, span_score_mode="simsweep_cat_int8")
+    icache = encode_corpus(model, variables, builder, world.corpus, icfg)
+    assert icache.feat2_cat.dtype == jnp.int8
+    assert icache.feat2_cat_scale.shape == icache.mask.shape
+    assert icache.video_feat2 is None and icache.sub_feat2 is None
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos, "gather")
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    out = _score_query_batch(model, variables, icfg, qf, qm,
+                             icache.video_feat1, icache.video_feat2,
+                             icache.sub_feat1, icache.sub_feat2,
+                             icache.mask, gt, True,
+                             feat2_cat=icache.feat2_cat,
+                             feat2_cat_scale=icache.feat2_cat_scale)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    np.testing.assert_array_equal(out["topv_idx"], ref["topv_idx"])
+    np.testing.assert_allclose(out["vcmr_scores"], ref["vcmr_scores"],
+                               rtol=0.2, atol=1e-5)
+
+
+def test_quantize_rows_i8_error_bound():
+    """Per-component reconstruction error <= scale/2 = row_max/254; all-zero
+    rows quantize to zeros without dividing by zero."""
+    from tvretrieval_tpu.ops.pallas_score import quantize_rows_i8
+    x = np.random.default_rng(3).normal(size=(7, 5, 24)).astype(np.float32)
+    x[2, 1] = 0.0
+    q, s = quantize_rows_i8(jnp.asarray(x))
+    assert q.dtype == jnp.int8 and s.shape == (7, 5)
+    recon = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    bound = np.abs(x).max(axis=-1, keepdims=True) / 254.0 + 1e-7
+    assert (np.abs(recon - x) <= bound).all()
+    assert (np.asarray(q[2, 1]) == 0).all()
 
 
 def test_video_topk_pre_exp_matches(setup):
@@ -235,6 +306,50 @@ def test_sharded_simsweep_matches_single_device(setup):
     np.testing.assert_array_equal(np.asarray(out["vcmr_ed"]), ref["vcmr_ed"])
     np.testing.assert_allclose(np.asarray(out["vcmr_scores"]),
                                ref["vcmr_scores"], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["svmr_st"]), ref["svmr_st"])
+    np.testing.assert_array_equal(np.asarray(out["svmr_ed"]), ref["svmr_ed"])
+
+
+def test_sharded_simsweep_cat_int8_matches_single_device_int8(setup):
+    """Sharded int8 cat sweep (scales riding the sf2 slot) must match the
+    single-device int8 engine EXACTLY on candidate identity: the
+    s8 x s8 -> s32 contraction is integer-exact, so per-shard sim values
+    are identical to the single-chip values — no f32 accumulation-order
+    slack, unlike simsweep_cat."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    if rcfg.cache_dtype_str != "float32":
+        pytest.skip("one dtype is enough for the sharded mode check")
+    from tvretrieval_tpu.ops.pallas_score import quantize_rows_i8
+    from tvretrieval_tpu.parallel.mesh import make_mesh
+    from tvretrieval_tpu.parallel.sharded_retrieval import (
+        pad_videos_to_multiple, score_query_batch_sharded)
+
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos,
+               "simsweep_cat_int8")
+    mesh = make_mesh(8)
+    f2c_full = jnp.concatenate([cache.video_feat2, cache.sub_feat2], axis=-1)
+    f2c_i8, f2c_scale = quantize_rows_i8(f2c_full)
+    arrs, _ = pad_videos_to_multiple(
+        [cache.video_feat1, f2c_i8, cache.sub_feat1, f2c_scale, cache.mask],
+        cache.n_videos, 8)
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    vf1, f2c, sf1, scale, mask = [jax.device_put(a, sh) for a in arrs]
+    scfg = dataclasses.replace(rcfg, span_score_mode="simsweep_cat_int8")
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    out = score_query_batch_sharded(model, variables, scfg, qf, qm,
+                                    vf1, f2c, sf1, scale, mask, gt,
+                                    True, mesh)
+    np.testing.assert_array_equal(np.asarray(out["topv_idx"]), ref["topv_idx"])
+    ref_vid_global = np.take_along_axis(ref["topv_idx"],
+                                        ref["vcmr_vid_local"], axis=1)
+    np.testing.assert_array_equal(np.asarray(out["vcmr_vid_global"]),
+                                  ref_vid_global)
+    np.testing.assert_array_equal(np.asarray(out["vcmr_st"]), ref["vcmr_st"])
+    np.testing.assert_array_equal(np.asarray(out["vcmr_ed"]), ref["vcmr_ed"])
+    np.testing.assert_allclose(np.asarray(out["vcmr_scores"]),
+                               ref["vcmr_scores"], rtol=1e-6, atol=1e-9)
     np.testing.assert_array_equal(np.asarray(out["svmr_st"]), ref["svmr_st"])
     np.testing.assert_array_equal(np.asarray(out["svmr_ed"]), ref["svmr_ed"])
 

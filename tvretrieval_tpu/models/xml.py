@@ -442,6 +442,45 @@ class XML(nn.Module):
         st, ed = self._merged_span_conv(similarity)
         return mask_logits(st, mask_g), mask_logits(ed, mask_g)
 
+    def merged_st_ed_scores_simgather_cat_i8(self, video_query, sub_query,
+                                             feat2_cat_i8, feat2_scale,
+                                             context_mask, gather_idx):
+        """``merged_st_ed_scores_simgather_cat`` with the concatenated cache
+        stored INT8 (engine mode "simsweep_cat_int8"): the corpus-wide
+        similarity einsum contracts s8 x s8 -> s32 on the MXU (2x the bf16
+        FLOP rate on v5e, half the feat2 HBM), and the f32 rescale happens
+        only on the tiny gathered (Nq, V, L) rows.
+
+        Quantization layout (ops.pallas_score.quantize_rows_i8): feat2_cat
+        rows are scaled per (video, clip) over the concatenated 2D feature
+        axis — feat2 is not unit-norm, so scales are stored
+        (``feat2_scale``, (Nv, L) f32). The halved query vectors quantize
+        per query at score time. The gathered integer dot rescales by
+        s_q[q] * s_f[v, l]; integer accumulation is exact, so the ONLY
+        approximation is the two input roundings (per-component error
+        <= row_max / 254 each). NOT a parity mode — accuracy contract is
+        the trained-checkpoint metric A/B (BENCH_NOTES round 3).
+        Reference op being approximated: model_xml.py:463-480 restricted
+        to the top-V rows of inference.py:348.
+        """
+        c = self.cfg
+        assert c.use_video and c.use_sub and c.span_predictor_type == "conv"
+        vq = self.video_query_linear(video_query)
+        sq = self.sub_query_linear(sub_query)
+        qcat = jnp.concatenate([vq, sq], axis=-1).astype(jnp.float32) * 0.5
+        q_scale = jnp.maximum(
+            jnp.max(jnp.abs(qcat), axis=-1, keepdims=True) / 127.0, 1e-12)
+        q8 = jnp.clip(jnp.round(qcat / q_scale), -127, 127).astype(jnp.int8)
+        sim_i32 = jnp.einsum("qd,nld->qnl", q8.astype(jnp.int32),
+                             feat2_cat_i8.astype(jnp.int32),
+                             preferred_element_type=jnp.int32)
+        g = jnp.take_along_axis(sim_i32, gather_idx[:, :, None], axis=1)
+        scale_g = feat2_scale[gather_idx]                # (Nq, V, L)
+        similarity = g.astype(jnp.float32) * (q_scale[:, None] * scale_g)
+        mask_g = context_mask[gather_idx]
+        st, ed = self._merged_span_conv(similarity)
+        return mask_logits(st, mask_g), mask_logits(ed, mask_g)
+
     def single_stream_st_ed_scores(self, query, feat2, mask, stream: str, cross: bool = False):
         """Per-stream span logits (reference _get_st_ed_prob :512-551)."""
         c = self.cfg

@@ -293,6 +293,24 @@ def quantize_unit_i8(x):
                     -127, 127).astype(jnp.int8)
 
 
+@functools.partial(jax.jit, static_argnames=("axis",))
+def quantize_rows_i8(x, axis: int = -1):
+    """Symmetric per-row int8 quantization for NON-unit rows (the feat2
+    localization cache, which is not L2-normalized — unlike feat1, see
+    quantize_unit_i8): scale s = max|row| / 127 per row along ``axis``;
+    q = round(x / s) clipped to [-127, 127].
+
+    Returns (q_int8, scales) with ``scales`` shaped like ``x`` minus the
+    quantized axis. Per-component error <= s/2 = max|row| / 254; a dot
+    against a quantized row rescales by the row's scale afterwards.
+    """
+    x = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(x), axis=axis, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)  # all-zero rows quantize to zeros
+    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return q, jnp.squeeze(s, axis=axis)
+
+
 def video_scores_int8_xla(qv_i8, qs_i8, fv_flat_i8, fs_flat_i8,
                           n_videos: int, lp: int):
     """Integer-exact XLA reference for the int8 kernel (tests; small shapes

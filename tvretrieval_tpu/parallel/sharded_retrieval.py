@@ -76,10 +76,12 @@ def shard_corpus_cache(cache, mesh: Mesh, cfg=None, chunk_v: int = 16):
         mult = mesh.devices.size * (chunk_v if pallas else 1)
         arrs, _ = pad_videos_to_multiple(
             [cache.video_feat1, cache.video_feat2, cache.sub_feat1,
-             cache.sub_feat2, cache.mask, cache.feat2_cat],
+             cache.sub_feat2, cache.mask, cache.feat2_cat,
+             cache.feat2_cat_scale],
             cache.n_videos, mult)
         (cache.video_feat1, cache.video_feat2, cache.sub_feat1,
-         cache.sub_feat2, cache.mask, cache.feat2_cat) = arrs
+         cache.sub_feat2, cache.mask, cache.feat2_cat,
+         cache.feat2_cat_scale) = arrs
         if pallas:
             from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
                                                           quantize_unit_i8)
@@ -103,15 +105,21 @@ def shard_corpus_cache(cache, mesh: Mesh, cfg=None, chunk_v: int = 16):
     cache.mask = put(cache.mask)
     if cache.feat2_cat is not None:
         cache.feat2_cat = put(cache.feat2_cat)
+    if cache.feat2_cat_scale is not None:
+        cache.feat2_cat_scale = put(cache.feat2_cat_scale)
     return cache
 
 
 def cat_mode_feat2_args(cache):
     """(video_feat2, sub_feat2) slots for a simsweep_cat cache: feat2_cat
     rides the video_feat2 slot (same video-axis sharding), sub_feat2 gets a
-    shardable zero-width placeholder. score_query_batch_sharded reinterprets
-    the slots when cfg.span_score_mode == "simsweep_cat"."""
+    shardable zero-width placeholder — or, for an int8 cache, the (Nv, L)
+    f32 quantization scales (also video-sharded). score_query_batch_sharded
+    reinterprets the slots when cfg.span_score_mode startswith
+    "simsweep_cat"."""
     nv = cache.feat2_cat.shape[0]
+    if cache.feat2_cat_scale is not None:
+        return cache.feat2_cat, cache.feat2_cat_scale
     return cache.feat2_cat, jnp.zeros((nv, 1, 0), cache.feat2_cat.dtype)
 
 
@@ -241,7 +249,18 @@ def score_query_batch_sharded(model: XML, variables, cfg,
                                            jnp.clip(gt_idx - base, 0, nv_local - 1)[:, None]],
                                           axis=1) if do_svmr else top_local_idx)
             mode = getattr(cfg, "span_score_mode", "gather")
-            if mode.startswith("simsweep_cat"):
+            if mode == "simsweep_cat_int8":
+                # per-shard INT8 cat sweep: vf2 carries the local int8
+                # feat2_cat slice, sf2 the (nv_local, L) f32 row scales
+                # (cat_mode_feat2_args). The s8 x s8 -> s32 contraction is
+                # integer-exact, so per-shard sim values are IDENTICAL to
+                # the single-chip int8 engine (no f32 accumulation-order
+                # caveat) — sharded output matches single-device int8
+                # bit-for-bit (tests/test_span_score_modes.py).
+                st_logits, ed_logits = model.apply(
+                    vars_, vq, sq, vf2, sf2, cmask, gather_idx,
+                    method=XML.merged_st_ed_scores_simgather_cat_i8)
+            elif mode.startswith("simsweep_cat"):
                 # per-shard concatenated-cache sweep (one K=2D einsum over
                 # the local feat2_cat slice, riding the vf2 slot — see
                 # cat_mode_feat2_args) + tiny sim-row gather; _bf16 stores

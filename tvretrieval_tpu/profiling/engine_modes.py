@@ -72,6 +72,13 @@ def main() -> None:
                   ("gather", "simsweep"), ("einsum", "pallas"))])
     feat2_cat = (jnp.concatenate([vf2, sf2], axis=-1)
                  if any(c.startswith("simsweep_cat") for c in combos) else None)
+    feat2_cat_i8 = feat2_cat_scale = None
+    if any(c.startswith("simsweep_cat_int8") for c in combos):
+        from tvretrieval_tpu.ops.pallas_score import quantize_rows_i8
+        feat2_cat_i8, feat2_cat_scale = quantize_rows_i8(feat2_cat)
+        if all(c.startswith("simsweep_cat_int8") for c in combos):
+            feat2_cat.delete()
+            feat2_cat = None
     if all(c.startswith("simsweep_cat") for c in combos):
         # every combo reads feat2 through the cat cache — free the two
         # stream copies (HBM headroom: all layouts at once OOM at nq=800)
@@ -102,8 +109,13 @@ def main() -> None:
                                    video_score_mode=vid_mode,
                                    span_topk_mode=topk_mode,
                                    video_topk_pre_exp=pre_exp)
-        kw = ({"feat2_cat": feat2_cat}
-              if span_mode.startswith("simsweep_cat") else {})
+        if span_mode == "simsweep_cat_int8":
+            kw = {"feat2_cat": feat2_cat_i8,
+                  "feat2_cat_scale": feat2_cat_scale}
+        elif span_mode.startswith("simsweep_cat"):
+            kw = {"feat2_cat": feat2_cat}
+        else:
+            kw = {}
         f1v = {"pallas": vf1_flat, "pallas_int8": vf1_i8}.get(vid_mode, vf1)
         f1s = {"pallas": sf1_flat, "pallas_int8": sf1_i8}.get(vid_mode, sf1)
         run = lambda: _score_query_batch(model, variables, rcfg, qf, qm,

@@ -71,6 +71,16 @@ class RetrievalConfig:
     #               other backends, XLA_FLAGS=--xla_allow_excess_precision
     #               =false, or corpora large enough that the f32 buffer
     #               cannot fit.
+    #   "simsweep_cat_int8": simsweep_cat with the concatenated cache
+    #               stored INT8 + per-(video, clip) f32 scales
+    #               (feat2_cat_scale): the corpus-wide einsum runs
+    #               s8 x s8 -> s32 on the MXU (2x the bf16 FLOP rate on
+    #               v5e, half the feat2 HBM); the rescale touches only the
+    #               gathered (Nq, V, L) rows. Integer accumulation is
+    #               exact — the only approximation is the two input
+    #               roundings (<= row_max/254 per component). NOT a parity
+    #               mode: accuracy contract = trained-checkpoint metric
+    #               A/B (BENCH_NOTES round 3), same as pallas_int8.
     #   "gather":   gather top-V feature rows, then sim+conv (round-2 path)
     span_score_mode: str = "gather"
     # video-level q2c stage:
@@ -111,7 +121,8 @@ class RetrievalConfig:
 
     @property
     def cat_mode(self) -> bool:
-        return self.span_score_mode in ("simsweep_cat", "simsweep_cat_bf16")
+        return self.span_score_mode in ("simsweep_cat", "simsweep_cat_bf16",
+                                        "simsweep_cat_int8")
 
     @property
     def cache_dtype(self):
@@ -136,7 +147,11 @@ class CorpusCache:
     metas: List[dict]                    # per-video {vid_name, duration}
     feat2_cat: Optional[jnp.ndarray] = None  # (Nv, L, 2D) [vf2 ; sf2] for
     #                                          span_score_mode="simsweep_cat"
-    #                                          (replaces the two streams)
+    #                                          (replaces the two streams);
+    #                                          int8 under "simsweep_cat_int8"
+    feat2_cat_scale: Optional[jnp.ndarray] = None  # (Nv, L) f32 per-row
+    #                                          quantization scales (only
+    #                                          with an int8 feat2_cat)
 
 
 def _uses_fast_path(model: XML) -> bool:
@@ -212,12 +227,17 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
 
     cat = lambda key: jnp.concatenate(chunks[key], axis=0) if chunks[key] else None
     vf2_all, sf2_all = cat("vf2"), cat("sf2")
-    feat2_cat = None
+    feat2_cat = feat2_cat_scale = None
     if cfg.cat_mode and vf2_all is not None and sf2_all is not None:
         # one concatenated localization cache (same total HBM as the two
         # streams, which are dropped — only the cat path consumes feat2)
         feat2_cat = jnp.concatenate([vf2_all, sf2_all], axis=-1)
         vf2_all = sf2_all = None
+        if cfg.span_score_mode == "simsweep_cat_int8":
+            # per-(video, clip)-row symmetric quantization (feat2 is not
+            # unit-norm, so scales are kept; halves the feat2 HBM)
+            from tvretrieval_tpu.ops.pallas_score import quantize_rows_i8
+            feat2_cat, feat2_cat_scale = quantize_rows_i8(feat2_cat)
     vf1_all, sf1_all, mask_all = cat("vf1"), cat("sf1"), cat("mask")
     if (cfg.video_score_mode in ("pallas", "pallas_int8")
             and vf1_all is not None
@@ -240,6 +260,7 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
         metas=[{"vid_name": v, "duration": d}
                for v, d in zip(corpus.vid_names, corpus.durations)],
         feat2_cat=feat2_cat,
+        feat2_cat_scale=feat2_cat_scale,
     )
 
 
@@ -317,13 +338,21 @@ def encode_corpus_resident(model: XML, variables, device_data,
         if cfg.video_score_mode == "pallas_int8":
             vf1_all = quantize_unit_i8(vf1_all)
             sf1_all = quantize_unit_i8(sf1_all)
+    feat2_cat, feat2_cat_scale = bufs.pop("feat2_cat", None), None
+    if (feat2_cat is not None
+            and cfg.span_score_mode == "simsweep_cat_int8"):
+        # pop + rebind: the f32 source frees once the int8 copy (half
+        # size) + scales materialize (transient 1.5x of feat2_cat)
+        from tvretrieval_tpu.ops.pallas_score import quantize_rows_i8
+        feat2_cat, feat2_cat_scale = quantize_rows_i8(feat2_cat)
     return CorpusCache(
         video_feat1=vf1_all, video_feat2=get("vf2"),
         sub_feat1=sf1_all, sub_feat2=get("sf2"),
         mask=bufs["mask"], n_videos=nv,
         metas=[{"vid_name": v, "duration": d}
                for v, d in zip(corpus.vid_names, corpus.durations)],
-        feat2_cat=get("feat2_cat"),
+        feat2_cat=feat2_cat,
+        feat2_cat_scale=feat2_cat_scale,
     )
 
 
@@ -335,7 +364,7 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
                        ctx_mask, gt_meta_idx, do_svmr: bool,
                        use_external_vr: bool = False,
                        external_idx=None, external_scores=None,
-                       feat2_cat=None):
+                       feat2_cat=None, feat2_cat_scale=None):
     """One fused device program scoring a query batch against the corpus.
 
     Fast path (merged two-stream ConvSE, the flagship config): video-level
@@ -413,7 +442,12 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
             topv_scores, topv_idx = topk_stable_blocked(q2c_exp, V)  # (Nq, V)
         gather_idx = (jnp.concatenate([topv_idx, gt_meta_idx[:, None]], axis=1)
                       if do_svmr else topv_idx)                # (Nq, V[+1])
-        if cfg.cat_mode:
+        if cfg.span_score_mode == "simsweep_cat_int8":
+            st_logits, ed_logits = model.apply(
+                variables, vq, sq, feat2_cat, feat2_cat_scale, ctx_mask,
+                gather_idx,
+                method=XML.merged_st_ed_scores_simgather_cat_i8)
+        elif cfg.cat_mode:
             st_logits, ed_logits = model.apply(
                 variables, vq, sq, feat2_cat, ctx_mask, gather_idx,
                 sim_dtype=(jnp.bfloat16
@@ -576,6 +610,8 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
                             external_scores=jnp.asarray(ext_scores))
         if cache.feat2_cat is not None:
             ext_args["feat2_cat"] = cache.feat2_cat
+        if cache.feat2_cat_scale is not None:
+            ext_args["feat2_cat_scale"] = cache.feat2_cat_scale
         out = _score_query_batch(
             model, variables, cfg,
             q_feat, q_mask,

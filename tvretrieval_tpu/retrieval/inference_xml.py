@@ -38,7 +38,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_split_name", type=str, default=None)
     p.add_argument("--eval_path", type=str, default=None)
     p.add_argument("--span_score_mode", type=str, default=None,
-                   choices=["gather", "simsweep", "simsweep_cat", "simsweep_cat_bf16"])
+                   choices=["gather", "simsweep", "simsweep_cat", "simsweep_cat_bf16", "simsweep_cat_int8"])
     p.add_argument("--video_score_mode", type=str, default=None,
                    choices=["einsum", "pallas", "pallas_int8"])
     p.add_argument("--span_topk_mode", type=str, default=None,

@@ -142,7 +142,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_query_bsz", type=int, default=50)
     p.add_argument("--eval_context_bsz", type=int, default=200)
     p.add_argument("--span_score_mode", type=str, default="gather",
-                   choices=["gather", "simsweep", "simsweep_cat", "simsweep_cat_bf16"],
+                   choices=["gather", "simsweep", "simsweep_cat", "simsweep_cat_bf16", "simsweep_cat_int8"],
                    help="retrieval-eval span scoring path (engine.py; "
                         "simsweep_cat is fastest, gather is the bit-exact "
                         "reference-faithful default)")
