@@ -173,6 +173,76 @@ def test_streaming_flat_sharded_matches_unsharded(setup):
         np.testing.assert_array_equal(sharded[k], plain[k], err_msg=k)
 
 
+def test_streaming_int8_blocks_match_in_hbm_int8_engine(setup):
+    """int8 host blocks (half host RAM + half host->device bytes) must
+    reproduce the in-HBM engine's video_score_mode='pallas_int8' VIDEO
+    ranking: identical quantized inputs + integer-exact dots give
+    identical q2c values, so the sorted top-V scores agree exactly
+    (per-index identity is asserted score-wise to stay robust to
+    cross-video ties, which coarse integer scores can produce)."""
+    import dataclasses
+
+    from tvretrieval_tpu.ops.pallas_score import (
+        build_flat_feat1, flat_lp, quantize_unit_i8, video_scores_int8_xla)
+
+    world, model, variables, rcfg, cache, qb, gt = setup
+    fcfg = dataclasses.replace(rcfg, pallas_interpret=True)
+    ihost = host_cache_from_device(cache, flat=True, int8=True)
+    assert ihost.int8 and ihost.video_feat1.dtype == np.int8
+    out = streaming_score_query_batch(
+        model, variables, fcfg, qb.query_feat, qb.query_mask, ihost,
+        gt_meta_idx=gt, block_videos=16)
+
+    # integer-exact reference q2c on the SAME quantized cache
+    lp = flat_lp(cache.mask.shape[1])
+    fv = quantize_unit_i8(build_flat_feat1(cache.video_feat1, cache.mask))
+    fs = quantize_unit_i8(build_flat_feat1(cache.sub_feat1, cache.mask))
+    # host (numpy) quantization must be bit-identical to the device one
+    np.testing.assert_array_equal(
+        ihost.video_feat1, np.asarray(fv)[: ihost.video_feat1.shape[0]])
+    from tvretrieval_tpu.retrieval.streaming import _encode_queries
+    _, _, vqn, sqn = _encode_queries(model, variables,
+                                     jnp.asarray(qb.query_feat),
+                                     jnp.asarray(qb.query_mask))
+    q2c = np.asarray(video_scores_int8_xla(
+        quantize_unit_i8(vqn), quantize_unit_i8(sqn), fv, fs,
+        cache.n_videos, lp=lp))
+    V = rcfg.max_vcmr_video
+    ref_sorted = -np.sort(-q2c, axis=1)[:, :V]
+    got_cos = np.log(out["topv_scores"]) / rcfg.q2c_alpha
+    np.testing.assert_allclose(got_cos, ref_sorted, rtol=1e-5, atol=1e-7)
+    # each selected video's score equals the reference q2c at that index
+    sel = np.take_along_axis(q2c, out["topv_idx"], axis=1)
+    np.testing.assert_allclose(got_cos, sel, rtol=1e-5, atol=1e-7)
+
+
+def test_streaming_int8_sharded_matches_unsharded(setup):
+    """int8 blocks sharded over the 8-device mesh == unsharded int8
+    streaming, bit-for-bit (integer dots are accumulation-order free)."""
+    import dataclasses
+
+    from tvretrieval_tpu.parallel.mesh import make_mesh
+
+    world, model, variables, rcfg, cache, qb, gt = setup
+    fcfg = dataclasses.replace(rcfg, pallas_interpret=True)
+    ihost = host_cache_from_device(cache, flat=True, int8=True)
+    plain = streaming_score_query_batch(
+        model, variables, fcfg, qb.query_feat, qb.query_mask, ihost,
+        gt_meta_idx=gt, block_videos=16)
+    mesh = make_mesh(8)
+    sharded = streaming_score_query_batch(
+        model, variables, fcfg, qb.query_feat, qb.query_mask, ihost,
+        gt_meta_idx=gt, block_videos=16, mesh=mesh)
+    for k in plain:
+        np.testing.assert_array_equal(sharded[k], plain[k], err_msg=k)
+
+
+def test_host_cache_int8_requires_flat(setup):
+    world, model, variables, rcfg, cache, qb, gt = setup
+    with pytest.raises(ValueError, match="flat"):
+        host_cache_from_device(cache, flat=False, int8=True)
+
+
 def test_streaming_flat_bf16_cache(setup):
     """bf16 host cache streams through the flat kernel (halved host->HBM
     transfer per block) and matches the bf16 einsum-block path exactly."""

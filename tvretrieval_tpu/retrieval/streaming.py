@@ -63,6 +63,13 @@ class HostCorpusCache:
     flat: bool = False
     lp: int = 0
     video_valid: Optional[np.ndarray] = None   # (Nv,) bool, flat mode only
+    int8: bool = False        # flat feat1 blocks stored int8 (scale-127
+    #                           symmetric, rows are unit-norm): HALVES the
+    #                           host RAM and the per-block host->device
+    #                           transfer — the dominant cost of any real
+    #                           streaming deployment — and each block is
+    #                           scored by the s8 MXU kernel (engine mode
+    #                           "pallas_int8"'s accuracy contract applies)
 
 
 def _flat_feat1_np(feat1: np.ndarray, mask: np.ndarray, lp: int) -> np.ndarray:
@@ -81,17 +88,34 @@ def _flat_feat1_np(feat1: np.ndarray, mask: np.ndarray, lp: int) -> np.ndarray:
     return np.ascontiguousarray(fixed.reshape(nv * lp, d))
 
 
-def host_cache_from_device(cache, flat: bool = False) -> HostCorpusCache:
+def _quantize_unit_i8_np(x: np.ndarray) -> np.ndarray:
+    """Numpy twin of ops.pallas_score.quantize_unit_i8 (bit-identical:
+    f32 multiply + round-half-even are exact IEEE ops on both)."""
+    return np.clip(np.rint(x.astype(np.float32) * np.float32(127.0)),
+                   -127, 127).astype(np.int8)
+
+
+def host_cache_from_device(cache, flat: bool = False,
+                           int8: bool = False) -> HostCorpusCache:
     """Pull an engine CorpusCache into host memory.
 
     flat=True converts the feat1 streams to the video-major flat layout for
     Pallas block scoring (see HostCorpusCache); the (Nv, L, D) originals are
-    not kept (phase 2 only needs feat2)."""
+    not kept (phase 2 only needs feat2).
+
+    int8=True (requires flat): additionally quantizes the flat feat1
+    blocks to int8 (scale-127 symmetric; rows are L2-normalized at encode
+    time) — half the host RAM and half the host->device bytes per block,
+    scored by the s8 MXU kernel. Same approximation contract as the
+    in-HBM engine's video_score_mode="pallas_int8"."""
     if cache.video_feat1 is not None and cache.video_feat1.ndim == 2:
         raise ValueError(
             "cache holds the FLAT single-chip pallas feat1 layout (built "
             "with video_score_mode='pallas'); the streaming engine builds "
             "its own block layout — encode with video_score_mode='einsum'")
+    if int8 and not flat:
+        raise ValueError("int8 host blocks require flat=True (the s8 "
+                         "kernel consumes the flat layout)")
     g = lambda x: np.asarray(x)
     vf1, sf1, mask = g(cache.video_feat1), g(cache.sub_feat1), g(cache.mask)
     lp = 0
@@ -102,11 +126,14 @@ def host_cache_from_device(cache, flat: bool = False) -> HostCorpusCache:
         valid = mask.max(axis=1) > 0
         vf1 = _flat_feat1_np(vf1, mask, lp)
         sf1 = _flat_feat1_np(sf1, mask, lp)
+        if int8:
+            vf1 = _quantize_unit_i8_np(vf1)
+            sf1 = _quantize_unit_i8_np(sf1)
     return HostCorpusCache(
         video_feat1=vf1, video_feat2=g(cache.video_feat2),
         sub_feat1=sf1, sub_feat2=g(cache.sub_feat2),
         mask=mask, n_videos=cache.n_videos, flat=flat, lp=lp,
-        video_valid=valid)
+        video_valid=valid, int8=int8)
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
@@ -141,16 +168,27 @@ def _block_scores_flat(vqn, sqn, vf_flat, sf_flat, valid, lp: int,
     mesh: optional 1-D "data" mesh — the kernel runs per shard under
     shard_map (pallas_call is not GSPMD-partitionable), each shard scoring
     its contiguous 1/k of the block's videos; only the (Nq, B) scores
-    concatenate across ICI."""
-    from tvretrieval_tpu.ops.pallas_score import video_scores_pallas_flat
+    concatenate across ICI.
 
-    qvt = vqn.astype(vf_flat.dtype).T
-    qst = sqn.astype(sf_flat.dtype).T
+    int8 blocks (vf_flat.dtype == int8, see HostCorpusCache.int8): the
+    normalized queries are quantized the same way and the s8 kernel runs —
+    dispatch is by dtype, so the same jit site serves both (retraced per
+    dtype)."""
+    from tvretrieval_tpu.ops.pallas_score import (quantize_unit_i8,
+                                                  video_scores_pallas_flat,
+                                                  video_scores_pallas_flat_i8)
+
+    is_i8 = vf_flat.dtype == jnp.int8
+    if is_i8:
+        qvt, qst = quantize_unit_i8(vqn).T, quantize_unit_i8(sqn).T
+    else:
+        qvt = vqn.astype(vf_flat.dtype).T
+        qst = sqn.astype(sf_flat.dtype).T
 
     def score(qv, qs, vf, sf, vd):
         b = vf.shape[0] // lp
-        s = video_scores_pallas_flat(qv, qs, vf, sf, n_videos=b, lp=lp,
-                                     interpret=interpret)
+        kern = video_scores_pallas_flat_i8 if is_i8 else video_scores_pallas_flat
+        s = kern(qv, qs, vf, sf, n_videos=b, lp=lp, interpret=interpret)
         return jnp.where(vd[None, :], s, NEG_INF)
 
     if mesh is None:
