@@ -546,7 +546,10 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
              tasks: Sequence[str] = ("VCMR", "SVMR", "VR"),
              external_vr_path: Optional[str] = None,
              return_arrays: bool = False,
-             query_table=None) -> Dict[str, list]:
+             query_table=None,
+             streaming_host=None,
+             streaming_block_videos: int = 2048,
+             streaming_mesh=None) -> Dict[str, list]:
     """Score all queries against the cached corpus; return submission dict
     entries per task (reference compute_query2ctx_info, inference.py:252-445).
 
@@ -557,8 +560,17 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
     query_table: optional data.device_corpus.QueryTable row-aligned with
     query_rows — query features then stream quantized and are assembled on
     device, skipping the host's per-row batch building each epoch.
+    streaming_host: optional retrieval.streaming.HostCorpusCache — score
+    each query batch through the beyond-HBM streaming engine instead of
+    the in-HBM fused program (cache is still consulted for video metas;
+    its device arrays may be dropped). streaming_block_videos /
+    streaming_mesh forward to streaming_score_query_batch. External VR is
+    not supported on the streaming path.
     """
     do_svmr = "SVMR" in tasks
+    if streaming_host is not None and external_vr_path:
+        raise ValueError("external VR is not supported on the streaming "
+                         "path (score in-HBM or merge externally)")
     vid2meta = {m["vid_name"]: i for i, m in enumerate(cache.metas)}
     meta_video_idx = np.asarray(
         [corpus.video2idx[m["vid_name"]] for m in cache.metas], dtype=np.int64)
@@ -612,12 +624,20 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
             ext_args["feat2_cat"] = cache.feat2_cat
         if cache.feat2_cat_scale is not None:
             ext_args["feat2_cat_scale"] = cache.feat2_cat_scale
-        out = _score_query_batch(
-            model, variables, cfg,
-            q_feat, q_mask,
-            cache.video_feat1, cache.video_feat2,
-            cache.sub_feat1, cache.sub_feat2,
-            cache.mask, jnp.asarray(gt_idx), do_svmr, **ext_args)
+        if streaming_host is not None:
+            from tvretrieval_tpu.retrieval.streaming import (
+                streaming_score_query_batch)
+            out = streaming_score_query_batch(
+                model, variables, cfg, q_feat, q_mask, streaming_host,
+                gt_meta_idx=gt_idx if do_svmr else None,
+                block_videos=streaming_block_videos, mesh=streaming_mesh)
+        else:
+            out = _score_query_batch(
+                model, variables, cfg,
+                q_feat, q_mask,
+                cache.video_feat1, cache.video_feat2,
+                cache.sub_feat1, cache.sub_feat2,
+                cache.mask, jnp.asarray(gt_idx), do_svmr, **ext_args)
         out = {k: np.asarray(v) for k, v in out.items()}
         keep = bsz - pad
         collected.append({k: v[:keep] for k, v in out.items()})

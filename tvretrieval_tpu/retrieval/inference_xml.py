@@ -27,6 +27,7 @@ EVAL_OVERRIDABLE = (
     "eval_context_bsz", "tasks", "max_pred_l", "min_pred_l",
     "max_before_nms", "max_vcmr_video", "external_inference_vr_res_path",
     "span_score_mode", "video_score_mode", "span_topk_mode", "eval_cache_dtype",
+    "streaming", "streaming_block_videos",
 )
 
 
@@ -54,6 +55,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_vcmr_video", type=int, default=None)
     p.add_argument("--external_inference_vr_res_path", type=str, default=None,
                    help="VR submission JSON replacing internal video ranking")
+    p.add_argument("--streaming", type=str, default=None,
+                   choices=["off", "einsum", "flat", "flat_int8"],
+                   help="score through the beyond-HBM streaming engine "
+                        "(corpus in host RAM, feat1 blocks streamed): "
+                        "einsum blocks, flat Pallas-kernel blocks, or "
+                        "int8 flat blocks (half host RAM + transfer)")
+    p.add_argument("--streaming_block_videos", type=int, default=None,
+                   help="videos per streamed block (default 2048)")
     p.add_argument("--eval_id", type=str, default="standalone")
     return p
 

@@ -265,7 +265,36 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
     if not has_gt:
         tasks = tuple(t for t in tasks if t != "SVMR")
 
-    if device_data is not None:
+    streaming = getattr(args, "streaming", None) or "off"
+    stream_kw = {}
+    if streaming != "off":
+        # beyond-HBM path (reference ambition: the 1M-video extrapolation,
+        # profile_main.py:36-53): encode with the plain (Nv, L, D) layout
+        # and two feat2 streams (the host cache builds its own block
+        # layout; cat/flat device layouts don't apply), pull to host RAM,
+        # and score through the streaming engine. "flat" = per-block
+        # Pallas kernel; "flat_int8" additionally halves host RAM and the
+        # per-block host->device transfer.
+        import dataclasses
+
+        import jax as _jax
+
+        from tvretrieval_tpu.retrieval.streaming import host_cache_from_device
+        enc_cfg = dataclasses.replace(rcfg, span_score_mode="gather",
+                                      video_score_mode="einsum")
+        if streaming.startswith("flat") and _jax.default_backend() == "cpu":
+            rcfg = dataclasses.replace(rcfg, pallas_interpret=True)
+        cache = (encode_corpus_resident(model, variables, device_data,
+                                        corpus, enc_cfg)
+                 if device_data is not None else
+                 encode_corpus(model, variables, builder, corpus, enc_cfg))
+        stream_kw = dict(
+            streaming_host=host_cache_from_device(
+                cache, flat=streaming.startswith("flat"),
+                int8=streaming == "flat_int8"),
+            streaming_block_videos=getattr(
+                args, "streaming_block_videos", None) or 2048)
+    elif device_data is not None:
         cache = encode_corpus_resident(model, variables, device_data,
                                        corpus, rcfg)
     else:
@@ -275,7 +304,8 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
                    external_vr_path=getattr(
                        args, "external_inference_vr_res_path", None),
                    query_table=(device_data.retrieval_queries
-                                if device_data is not None else None))
+                                if device_data is not None else None),
+                   **stream_kw)
     raw["video2idx"] = corpus.video2idx
 
     submission = submission_top_n(raw, top_n=100)
