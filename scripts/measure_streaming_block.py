@@ -59,8 +59,16 @@ def main():
     t_score = time_stage(
         lambda: _block_scores_flat(qv, qs, vf, sf, vd, lp=LP))
     gb = 2 * BLOCK * LP * D * 2 / 1e9
-    print(f"block score ({BLOCK} videos, Nq={nq}): {t_score:7.2f} ms "
+    print(f"block score bf16 ({BLOCK} videos, Nq={nq}): {t_score:7.2f} ms "
           f"({gb:.3f} GB cache read)", flush=True)
+
+    # int8 block variant (host blocks stored s8: half transfer + s8 MXU)
+    from tvretrieval_tpu.ops.pallas_score import quantize_unit_i8
+    vf8, sf8 = quantize_unit_i8(vf), quantize_unit_i8(sf)
+    t_i8 = time_stage(
+        lambda: _block_scores_flat(qv, qs, vf8, sf8, vd, lp=LP))
+    print(f"block score int8 ({BLOCK} videos, Nq={nq}): {t_i8:7.2f} ms "
+          f"({gb / 2:.3f} GB cache read)", flush=True)
 
     best_s = jnp.full((nq, 100), -jnp.inf, jnp.float32)
     best_i = jnp.zeros((nq, 100), jnp.int32)
@@ -81,6 +89,13 @@ def main():
     print(f"device_put of one stream block ({host_block.nbytes / 1e6:.0f} MB) "
           f"through this image's tunnel: {t_put * 1e3:.0f} ms "
           f"({host_block.nbytes / t_put / 1e6:.0f} MB/s)")
+    host_i8 = np.asarray(vf8)
+    t0 = time.perf_counter()
+    a = jax.device_put(host_i8)
+    _sync(a)
+    t_put8 = time.perf_counter() - t0
+    print(f"device_put of one INT8 block ({host_i8.nbytes / 1e6:.0f} MB): "
+          f"{t_put8 * 1e3:.0f} ms ({host_i8.nbytes / t_put8 / 1e6:.0f} MB/s)")
 
 
 if __name__ == "__main__":
