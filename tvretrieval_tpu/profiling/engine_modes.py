@@ -94,6 +94,12 @@ def main() -> None:
         if any(c.split("/")[1] == "pallas_int8" for c in combos):
             vf1_i8 = quantize_unit_i8(vf1_flat)
             sf1_i8 = quantize_unit_i8(sf1_flat)
+            if not any(c.split("/")[1] == "pallas" for c in combos):
+                # nothing reads the bf16 flats once quantized (1.12 GB HBM
+                # at corpus scale — enough to OOM the nq=800 sweep program)
+                vf1_flat.delete()
+                sf1_flat.delete()
+                vf1_flat = sf1_flat = None
         if all(c.split("/")[1] in ("pallas", "pallas_int8") for c in combos):
             vf1.delete()
             sf1.delete()
