@@ -56,19 +56,22 @@ def main() -> None:
         query_input_size=768, hidden_size=HIDDEN, n_heads=4,
         max_ctx_l=N_CLIPS, max_desc_l=30)
     model = XML(cfg)
-    # fastest measured engine configuration (BENCH_NOTES round-2 table):
+    # fastest measured engine configuration (BENCH_NOTES round-2/3 tables):
     # - simsweep_cat: one K=2D corpus-wide similarity einsum over the
     #   concatenated feat2 cache + tiny sim-row gathers (no feature-row
     #   gather); video ranking bit-equal to the reference-faithful gather
     #   path, span scores equal up to f32 accumulation order
     #   (tests/test_span_score_modes.py)
-    # - pallas video scores: ops/pallas_score.py flat-cache kernel (one
-    #   large MXU dot per stream per tile; bit-exact vs the einsum path)
+    # - pallas_int8 video scores: ops/pallas_score.py s8 flat-cache kernel
+    #   (2x MXU rate, half the cache HBM; 1.63x the bf16 stage). Integer
+    #   accumulation is exact; the only approximation is scale-127 input
+    #   rounding — trained-checkpoint A/B moved no metric beyond +-0.03
+    #   recall points (BENCH_NOTES round 3, JSONs in results_scale/)
     # - grouped_shift span top-k: shift-reduction expansion (bit-exact,
     #   no (Nq, V, L, W) band tensor)
     rcfg = RetrievalConfig(cache_dtype_str="bfloat16",
                            span_score_mode="simsweep_cat",
-                           video_score_mode="pallas",
+                           video_score_mode="pallas_int8",
                            span_topk_mode="grouped_shift")
 
     key = jax.random.PRNGKey(0)
@@ -100,10 +103,16 @@ def main() -> None:
          jax.random.normal(ks[6], shape, dtype=dt)], axis=-1)
     mask = jnp.ones((N_VIDEOS, N_CLIPS), jnp.float32)
     # feat1 streams in the video-major flat mask-free layout consumed by
-    # the pallas video-score kernel (what encode_corpus builds)
-    from tvretrieval_tpu.ops.pallas_score import build_flat_feat1
-    cache = [build_flat_feat1(normed(ks[3]), mask), None,
-             build_flat_feat1(normed(ks[5]), mask), None]
+    # the pallas video-score kernel (what encode_corpus builds), quantized
+    # to s8 (unit rows -> symmetric scale-127, no per-row scales needed)
+    from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
+                                                  quantize_unit_i8)
+    def flat_i8(k):
+        f = build_flat_feat1(normed(k), mask)
+        out = quantize_unit_i8(f)
+        f.delete()  # the bf16 flat is not read again (HBM headroom)
+        return out
+    cache = [flat_i8(ks[3]), None, flat_i8(ks[5]), None]
 
     q_feat = jax.random.normal(ks[7], (QUERY_BSZ, 30, 768), jnp.float32)
     q_mask = jnp.ones((QUERY_BSZ, 30), jnp.float32)
