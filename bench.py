@@ -27,8 +27,11 @@ BASELINE_REF_QPS = 170.0
 N_VIDEOS = 21818
 N_CLIPS = 100
 HIDDEN = 256
-QUERY_BSZ = 1000  # largest batch whose fused program fits one v5e (AOT probe:
-#                   13.9 of 15.75 GiB at 1000; 1200 needs 15.76 — BENCH_NOTES)
+QUERY_BSZ = 1000  # the int8 feat1 cache frees ~1.1 GiB vs bf16, so 1200
+#                   now FITS (bf16 needed 15.76 GiB) — but measured SLOWER:
+#                   15,470 q/s at 1200 vs 16,065 at 1000 (the sweep einsum
+#                   and span top-k scale superlinearly past the MXU sweet
+#                   spot; BENCH_NOTES round 3). 1000 stays the bench batch.
 N_WARMUP = 2
 N_ITERS = 10
 
