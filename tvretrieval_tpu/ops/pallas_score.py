@@ -284,6 +284,145 @@ def video_scores_pallas_flat_i8(qvt_i8, qst_i8, fv_flat_i8, fs_flat_i8,
     return out.T[:, :n_videos]
 
 
+SPAN_LP = 128  # rows per video in the flat feat2 cache: the span-sweep
+#                kernel's (Nq, chunk*LP) -> (Nq, chunk, LP) lane split must
+#                be TILE-ALIGNED (LP % 128 == 0) to lower under Mosaic —
+#                the Lp=104 variant hits `infer-vector-layout: unsupported
+#                shape cast` (BENCH_NOTES round 2 negative result)
+
+
+def _span_sim_kernel_i8(q8_ref, qs_ref, f8_ref, fs_ref, out_ref, *,
+                        chunk_v: int, lp: int):
+    """One grid step of the int8 span-similarity sweep: ONE large
+    s8 x s8 -> s32 MXU dot over a (chunk_v * lp, 2D) video-major flat
+    feat2 block, then the f32 rescale (query scale x per-(video, clip) row
+    scale) IN VMEM and a bf16 store. The s32 similarity never reaches HBM
+    — the materialized s32 output + {2,0,1} layout copy is exactly what
+    killed the XLA einsum version of this mode at corpus scale
+    (simsweep_cat_int8, BENCH_NOTES round 3: 14.85 GiB program, OOM)."""
+    s = jax.lax.dot_general(q8_ref[...], f8_ref[...],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    sf = s.astype(jnp.float32) * qs_ref[...]           # (qt, chunk*lp)*(qt,1)
+    qt = sf.shape[0]
+    sf = sf.reshape(qt, chunk_v, lp) * fs_ref[...][None]
+    out_ref[...] = sf.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("lp", "chunk_v", "q_tile",
+                                             "interpret"))
+def span_sim_pallas_cat_i8(q8, q_scale, f8_flat, f_scales,
+                           lp: int = SPAN_LP, chunk_v: int = 16,
+                           q_tile: int = 256, interpret: bool = False):
+    """Corpus-wide int8 concatenated span-similarity sweep (engine mode
+    ``span_score_mode="simsweep_cat_int8_flat"``).
+
+    Computes sim[q, v, l] = (q8[q] . f8[v*lp+l]) * q_scale[q] * f_scales[v, l]
+    and stores it bf16 in a GATHER-FRIENDLY (Nq, Nv_pad, lp) layout: the
+    engine's top-V row gather then reads contiguous lp-rows on the
+    second-minor axis (the flat (Nq, Nv*lp) layout would need minor-dim
+    slice gathers, which degrade to element gathers — BENCH_NOTES round 2).
+
+    Why this beats the bf16 XLA cat sweep it approximates: the s8 dot runs
+    at 2x the bf16 MXU rate (394 TOPS on v5e), which pays for both the
+    L -> 128 pad FLOPs and the bf16 similarity write that XLA's fused bf16
+    sweep avoids. Reference op being approximated: model_xml.py:463-480
+    restricted to inference.py:348's top videos.
+
+    Args:
+        q8: (Nq, K) int8 quantized HALVED concatenated query vectors
+            (see XML.merged_st_ed_scores_simgather_cat_i8's layout).
+        q_scale: (Nq, 1) f32 per-query dequantization scales.
+        f8_flat: (Nv_pad * lp, K) int8 video-major flat feat2 cache from
+            :func:`build_flat_feat2_i8` (L -> lp pad rows are zeros).
+        f_scales: (Nv_pad, lp) f32 per-(video, clip) row scales.
+    Returns:
+        (Nq, Nv_pad, lp) bf16 similarity. Bit-equal to
+        :func:`span_sim_int8_xla` (tests/test_pallas_score.py).
+    """
+    rows, k = f8_flat.shape
+    nv_pad = rows // lp
+    assert nv_pad * lp == rows and nv_pad % chunk_v == 0
+    nq = q8.shape[0]
+    # pad queries to a q_tile multiple (int8 sublane tile is 32; q_tile is
+    # kept >= 32-aligned by construction below). Zero rows dot to zero.
+    qt = min(q_tile, -(-nq // 32) * 32)
+    pad_q = (-nq) % qt
+    if pad_q:
+        q8 = jnp.pad(q8, ((0, pad_q), (0, 0)))
+        q_scale = jnp.pad(q_scale, ((0, pad_q), (0, 0)))
+    nq_pad = nq + pad_q
+    grid = (nv_pad // chunk_v, nq_pad // qt)   # queries minor: the feat2
+    #   block is read ONCE per video chunk; the small q tiles re-fetch
+    out = pl.pallas_call(
+        functools.partial(_span_sim_kernel_i8, chunk_v=chunk_v, lp=lp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, k), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_v * lp, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_v, lp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((qt, chunk_v, lp), lambda i, j: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq_pad, nv_pad, lp), jnp.bfloat16),
+        interpret=interpret,
+    )(q8, q_scale, f8_flat, f_scales)
+    return out[:nq]
+
+
+def span_sim_int8_xla(q8, q_scale, f8_flat, f_scales, lp: int = SPAN_LP):
+    """Integer-exact XLA reference for span_sim_pallas_cat_i8 (tests; small
+    shapes only — it materializes the (Nq, Nv_pad*lp) s32 similarity, the
+    very buffer the kernel exists to avoid)."""
+    s = jax.lax.dot_general(
+        q8.astype(jnp.int32), f8_flat.astype(jnp.int32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    sf = s.astype(jnp.float32) * q_scale                 # (Nq, rows)
+    nq = q8.shape[0]
+    sf = sf.reshape(nq, -1, lp) * f_scales[None]
+    return sf.astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("lp", "chunk_v"))
+def _build_flat_feat2_i8(feat2_cat, lp: int, chunk_v: int):
+    nv, L, k = feat2_cat.shape
+    q, scales = quantize_rows_i8(feat2_cat)              # (Nv, L, K), (Nv, L)
+    # L -> lp pad rows are ZEROS (sim 0; they sit beyond L and are sliced
+    # off after the engine's row gather, before conv/mask)
+    q = jnp.pad(q, ((0, 0), (0, lp - L), (0, 0)))
+    scales = jnp.pad(scales, ((0, 0), (0, lp - L)))
+    pad_v = (-nv) % chunk_v
+    if pad_v:  # pad videos are zeros too; gather_idx never reaches them
+        q = jnp.pad(q, ((0, pad_v), (0, 0), (0, 0)))
+        scales = jnp.pad(scales, ((0, pad_v), (0, 0)))
+    return q.reshape((nv + pad_v) * lp, k), scales
+
+
+def build_flat_feat2_i8(feat2_cat, lp: int = SPAN_LP, chunk_v: int = 16):
+    """(Nv, L, 2D) concatenated feat2 -> int8 video-major flat cache for
+    :func:`span_sim_pallas_cat_i8`: per-(video, clip)-row symmetric
+    quantization (quantize_rows_i8 — feat2 is not unit-norm, so scales are
+    kept), zero-padded L -> lp rows and Nv -> chunk_v-multiple videos.
+
+    Returns (f8_flat (Nv_pad*lp, 2D) int8, f_scales (Nv_pad, lp) f32).
+    Masked clips keep their encoder outputs, exactly like every other
+    sweep mode: the reference computes conv over padded positions and
+    re-masks afterwards (model_xml.py:486-497), so masked-position
+    similarities must be real values, not zeros.
+    """
+    nv, L, k = feat2_cat.shape
+    if L > lp:
+        raise ValueError(
+            f"max_ctx_l={L} exceeds the span-sweep kernel row pad lp={lp}; "
+            "use span_score_mode='simsweep_cat' for longer contexts")
+    return _build_flat_feat2_i8(feat2_cat, lp=lp, chunk_v=chunk_v)
+
+
 @jax.jit
 def quantize_unit_i8(x):
     """Symmetric int8 quantization for unit-norm rows: round(127 * x),
