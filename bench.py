@@ -29,7 +29,10 @@ N_CLIPS = 100
 HIDDEN = 256
 QUERY_BSZ = 1000  # the int8 feat1 cache frees ~1.1 GiB vs bf16, so 1200
 #                   now FITS (bf16 needed 15.76 GiB) — but measured SLOWER:
-#                   15,470 q/s at 1200 vs 16,065 at 1000 (the sweep einsum
+#                   15,470 q/s at 1200 vs 16,065 at 1000, builder-local run
+#                   (driver capture of the same config: 15,986, BENCH_r03;
+#                   the 1200-vs-1000 comparison is like-for-like) (the sweep
+#                   einsum
 #                   and span top-k scale superlinearly past the MXU sweet
 #                   spot; BENCH_NOTES round 3). 1000 stays the bench batch.
 N_WARMUP = 2
