@@ -145,3 +145,109 @@ def test_int8_quantization_error_bound():
     err = np.abs(np.asarray(out) - np.asarray(ref))
     assert err.max() < 0.02, err.max()
     assert err.mean() < 0.005, err.mean()
+
+
+@pytest.mark.parametrize("nq,nv,l,d2,lp,chunk_v,q_tile", [
+    (6, 37, 12, 32, 128, 8, 128),   # Nv not a chunk_v multiple, q pad 6->32
+    (5, 16, 20, 64, 128, 16, 32),   # single video chunk, tiny q tile
+    (40, 24, 14, 48, 256, 8, 32),   # several q tiles, lp > 128
+    (3, 9, 7, 16, 128, 3, 100),     # non-32-aligned q_tile (rounded up)
+])
+def test_span_sim_int8_kernel_bit_equal_to_xla(nq, nv, l, d2, lp, chunk_v,
+                                               q_tile):
+    """The fused int8 cat span-sweep kernel (span_sim_pallas_cat_i8) is
+    bit-equal to the XLA integer reference (span_sim_int8_xla): same s32
+    integer dot, same (s * q_scale) * f_scale f32 rescale association,
+    same bf16 store — over non-aligned Nq/Nv/L shapes."""
+    from tvretrieval_tpu.ops.pallas_score import (
+        build_flat_feat2_i8, quantize_rows_i8, span_sim_int8_xla,
+        span_sim_pallas_cat_i8)
+    rng = np.random.default_rng(nq * 100 + nv)
+    feat2 = rng.normal(size=(nv, l, d2)).astype(np.float32) * 3.0
+    f8_flat, f_scales = build_flat_feat2_i8(jnp.asarray(feat2), lp=lp,
+                                            chunk_v=chunk_v)
+    qcat = rng.normal(size=(nq, d2)).astype(np.float32)
+    q8, q_scale = quantize_rows_i8(jnp.asarray(qcat))
+    q_scale = q_scale[:, None]
+    ref = span_sim_int8_xla(q8, q_scale, f8_flat, f_scales, lp=lp)
+    out = span_sim_pallas_cat_i8(q8, q_scale, f8_flat, f_scales, lp=lp,
+                                 chunk_v=chunk_v, q_tile=q_tile,
+                                 interpret=True)
+    assert out.shape == ref.shape == (nq, f8_flat.shape[0] // lp, lp)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # L -> lp pad rows are exact zeros (sliced off after the row gather)
+    assert np.all(np.asarray(out)[:, :, l:] == 0)
+
+
+def test_span_sim_kernel_rejects_bad_lp():
+    from tvretrieval_tpu.ops.pallas_score import (build_flat_feat2_i8,
+                                                  span_sim_pallas_cat_i8)
+    feat2 = jnp.zeros((4, 10, 16), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        build_flat_feat2_i8(feat2, lp=104)
+    q8 = jnp.zeros((2, 16), jnp.int8)
+    qs = jnp.ones((2, 1), jnp.float32)
+    f8 = jnp.zeros((4 * 104, 16), jnp.int8)
+    fs = jnp.ones((4, 104), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        span_sim_pallas_cat_i8(q8, qs, f8, fs, lp=104, chunk_v=4,
+                               interpret=True)
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_flat_bmax_kernel_matches_plain_kernel(int8):
+    """video_scores_pallas_flat_bmax: scores[:, :n_videos] bit-equal to the
+    plain flat kernel, pad videos masked to -inf, and bmax is the exact
+    per-chunk maximum of the padded score matrix."""
+    from tvretrieval_tpu.ops.pallas_score import (
+        build_flat_feat1, quantize_unit_i8, video_scores_pallas_flat,
+        video_scores_pallas_flat_bmax, video_scores_pallas_flat_i8)
+    nq, nv, l, d, chunk_v = 5, 21, 12, 16, 8
+    lp = 16
+    qv, qs, fv, fs, mask = _case(nq, nv, l, d, jnp.float32, seed=3)
+    fvf = build_flat_feat1(fv, mask, lp=lp, chunk_v=chunk_v)
+    fsf = build_flat_feat1(fs, mask, lp=lp, chunk_v=chunk_v)
+    if int8:
+        fvf, fsf = quantize_unit_i8(fvf), quantize_unit_i8(fsf)
+        qvt, qst = quantize_unit_i8(qv).T, quantize_unit_i8(qs).T
+        ref = video_scores_pallas_flat_i8(qvt, qst, fvf, fsf, n_videos=nv,
+                                          lp=lp, chunk_v=chunk_v,
+                                          interpret=True)
+    else:
+        qvt, qst = qv.T, qs.T
+        ref = video_scores_pallas_flat(qvt, qst, fvf, fsf, n_videos=nv,
+                                       lp=lp, chunk_v=chunk_v,
+                                       interpret=True)
+    scores, bmax = video_scores_pallas_flat_bmax(
+        qvt, qst, fvf, fsf, n_videos=nv, lp=lp, chunk_v=chunk_v,
+        interpret=True)
+    nv_pad = fvf.shape[0] // lp
+    assert scores.shape == (nq, nv_pad)
+    assert bmax.shape == (nq, nv_pad // chunk_v)
+    np.testing.assert_array_equal(np.asarray(scores)[:, :nv],
+                                  np.asarray(ref))
+    assert np.all(np.asarray(scores)[:, nv:] == -np.inf)
+    expect_bmax = np.asarray(scores).reshape(nq, -1, chunk_v).max(axis=2)
+    np.testing.assert_array_equal(np.asarray(bmax), expect_bmax)
+
+
+def test_topk_from_block_max_bit_equal_to_blocked():
+    """topk_from_block_max on (kernel-style -inf-padded scores, exact block
+    maxima) is bit-equal to topk_stable_blocked on the unpadded row —
+    including heavy exact ties."""
+    from tvretrieval_tpu.ops.span import (topk_from_block_max,
+                                          topk_stable_blocked)
+    rng = np.random.default_rng(11)
+    for n, k, block, ties in [(2100, 100, 16, False), (333, 100, 16, True),
+                              (120, 100, 8, False)]:
+        x = rng.random((6, n)).astype(np.float32)
+        if ties:
+            x = np.round(x * 4) / 4
+        pad = (-n) % block
+        xp = np.pad(x, ((0, 0), (0, pad)), constant_values=-np.inf)
+        bmax = xp.reshape(6, -1, block).max(axis=2)
+        rv, ri = topk_stable_blocked(jnp.asarray(x), k, block=block)
+        gv, gi = topk_from_block_max(jnp.asarray(xp), jnp.asarray(bmax), k,
+                                     block=block)
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))

@@ -56,6 +56,12 @@ def _run(model, variables, rcfg, cache, qb, n_videos, mode):
         f2c = jnp.concatenate(
             [cache.video_feat2, cache.sub_feat2], axis=-1)
         kw["feat2_cat"], kw["feat2_cat_scale"] = quantize_rows_i8(f2c)
+    elif mode == "simsweep_cat_int8_flat":
+        from tvretrieval_tpu.ops.pallas_score import build_flat_feat2_i8
+        rcfg = dataclasses.replace(rcfg, pallas_interpret=True)
+        f2c = jnp.concatenate(
+            [cache.video_feat2, cache.sub_feat2], axis=-1)
+        kw["feat2_cat"], kw["feat2_cat_scale"] = build_flat_feat2_i8(f2c)
     elif mode.startswith("simsweep_cat"):
         kw["feat2_cat"] = jnp.concatenate(
             [cache.video_feat2, cache.sub_feat2], axis=-1)
@@ -392,3 +398,205 @@ def test_sharded_simsweep_cat_matches_single_device(setup):
                                ref["vcmr_scores"], rtol=2e-5, atol=1e-8)
     np.testing.assert_allclose(np.asarray(out["svmr_scores"]),
                                ref["svmr_scores"], rtol=2e-5, atol=1e-8)
+
+
+def test_simsweep_cat_int8_flat_close_to_int8(setup):
+    """The fused Pallas int8 flat sweep (span_score_mode=
+    'simsweep_cat_int8_flat'): video ranking untouched (bit-equal), span
+    scores match the XLA int8 mode within the kernel's bf16 similarity
+    store + rescale association ((s*qs)*fs vs s*(qs*fs)) — the integer
+    dot itself is identical (kernel bit-equal to span_sim_int8_xla,
+    tests/test_pallas_score.py)."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos,
+               "simsweep_cat_int8")
+    out = _run(model, variables, rcfg, cache, qb, cache.n_videos,
+               "simsweep_cat_int8_flat")
+    np.testing.assert_array_equal(out["topv_idx"], ref["topv_idx"])
+    np.testing.assert_array_equal(out["topv_scores"], ref["topv_scores"])
+    # bf16 store: rel <= 2^-8 on the similarity; conv mixes signs so give
+    # the end-to-end span scores a loose relative band + small atol
+    np.testing.assert_allclose(out["vcmr_scores"], ref["vcmr_scores"],
+                               rtol=0.1, atol=1e-4)
+    same = ((out["vcmr_vid_local"] == ref["vcmr_vid_local"])
+            & (out["vcmr_st"] == ref["vcmr_st"])
+            & (out["vcmr_ed"] == ref["vcmr_ed"]))
+    assert same.mean() > 0.75
+    np.testing.assert_allclose(out["svmr_scores"], ref["svmr_scores"],
+                               rtol=0.1, atol=1e-4)
+
+
+def test_simsweep_cat_int8_flat_cache_build_and_retrieve(setup):
+    """encode_corpus under span_score_mode='simsweep_cat_int8_flat' stores
+    the video-major int8 flat cache ((Nv_pad*128, 2D) + (Nv_pad, 128)
+    scales) and the engine consumes it end-to-end with the video ranking
+    bit-equal to the gather path."""
+    from tvretrieval_tpu.ops.pallas_score import SPAN_LP
+    world, builder, model, variables, rcfg, cache, qb = setup
+    icfg = dataclasses.replace(rcfg, span_score_mode="simsweep_cat_int8_flat",
+                               pallas_interpret=True)
+    icache = encode_corpus(model, variables, builder, world.corpus, icfg)
+    assert icache.feat2_cat.dtype == jnp.int8
+    nv_pad = icache.feat2_cat_scale.shape[0]
+    assert nv_pad >= icache.n_videos and nv_pad % 16 == 0
+    assert icache.feat2_cat.shape[0] == nv_pad * SPAN_LP
+    assert icache.feat2_cat_scale.shape == (nv_pad, SPAN_LP)
+    assert icache.video_feat2 is None and icache.sub_feat2 is None
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos, "gather")
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    out = _score_query_batch(model, variables, icfg, qf, qm,
+                             icache.video_feat1, icache.video_feat2,
+                             icache.sub_feat1, icache.sub_feat2,
+                             icache.mask, gt, True,
+                             feat2_cat=icache.feat2_cat,
+                             feat2_cat_scale=icache.feat2_cat_scale)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    np.testing.assert_array_equal(out["topv_idx"], ref["topv_idx"])
+    np.testing.assert_allclose(out["vcmr_scores"], ref["vcmr_scores"],
+                               rtol=0.2, atol=1e-4)
+
+
+def test_sharded_simsweep_cat_int8_flat_matches_single_device_flat(setup):
+    """Sharded fused-Pallas int8 flat sweep: per-shard sim values are
+    IDENTICAL to the single-chip flat mode (integer dot + kernel rescale +
+    bf16 store are per-video), so the sharded engine matches the
+    single-device 'simsweep_cat_int8_flat' output on candidate identity
+    and scores."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    if rcfg.cache_dtype_str != "float32":
+        pytest.skip("one dtype is enough for the sharded mode check")
+    from tvretrieval_tpu.ops.pallas_score import build_flat_feat2_i8
+    from tvretrieval_tpu.parallel.mesh import make_mesh
+    from tvretrieval_tpu.parallel.sharded_retrieval import (
+        pad_videos_to_multiple, score_query_batch_sharded)
+
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos,
+               "simsweep_cat_int8_flat")
+    mesh = make_mesh(8)
+    chunk_v = 2                      # nv_local = 32/8 = 4, a chunk multiple
+    f2c_full = jnp.concatenate([cache.video_feat2, cache.sub_feat2], axis=-1)
+    arrs, _ = pad_videos_to_multiple(
+        [cache.video_feat1, f2c_full, cache.sub_feat1, cache.mask],
+        cache.n_videos, 8 * chunk_v)
+    vf1_p, f2c_p, sf1_p, mask_p = arrs
+    f8_flat, f_scales = build_flat_feat2_i8(f2c_p, chunk_v=chunk_v)
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    vf1, f2c, sf1, scale, mask = [
+        jax.device_put(a, sh) for a in (vf1_p, f8_flat, sf1_p, f_scales,
+                                        mask_p)]
+    scfg = dataclasses.replace(rcfg, span_score_mode="simsweep_cat_int8_flat",
+                               pallas_interpret=True)
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    out = score_query_batch_sharded(model, variables, scfg, qf, qm,
+                                    vf1, f2c, sf1, scale, mask, gt,
+                                    True, mesh)
+    np.testing.assert_array_equal(np.asarray(out["topv_idx"]), ref["topv_idx"])
+    ref_vid_global = np.take_along_axis(ref["topv_idx"],
+                                        ref["vcmr_vid_local"], axis=1)
+    np.testing.assert_array_equal(np.asarray(out["vcmr_vid_global"]),
+                                  ref_vid_global)
+    np.testing.assert_array_equal(np.asarray(out["vcmr_st"]), ref["vcmr_st"])
+    np.testing.assert_array_equal(np.asarray(out["vcmr_ed"]), ref["vcmr_ed"])
+    np.testing.assert_allclose(np.asarray(out["vcmr_scores"]),
+                               ref["vcmr_scores"], rtol=1e-6, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(out["svmr_st"]), ref["svmr_st"])
+    np.testing.assert_array_equal(np.asarray(out["svmr_ed"]), ref["svmr_ed"])
+
+
+def test_shard_corpus_cache_builds_flat_feat2(setup):
+    """shard_corpus_cache with span_score_mode='simsweep_cat_int8_flat'
+    pads videos to a mesh*chunk_v multiple and builds the video-major int8
+    flat feat2 cache + scales; a pre-flattened cache is rejected."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    if rcfg.cache_dtype_str != "float32":
+        pytest.skip("one dtype is enough for the cache-build check")
+    import copy
+    from tvretrieval_tpu.ops.pallas_score import SPAN_LP
+    from tvretrieval_tpu.parallel.mesh import make_mesh
+    from tvretrieval_tpu.parallel.sharded_retrieval import shard_corpus_cache
+
+    mesh = make_mesh(8)
+    fcfg = dataclasses.replace(rcfg, span_score_mode="simsweep_cat_int8_flat",
+                               pallas_interpret=True)
+    # encode with the plain cat mode (keeps the (Nv, L, 2D) f32 cat cache);
+    # shard_corpus_cache builds the per-shard flat layout itself
+    ccfg = dataclasses.replace(rcfg, span_score_mode="simsweep_cat")
+    c = encode_corpus(model, variables, builder, world.corpus, ccfg)
+    c = shard_corpus_cache(c, mesh, cfg=fcfg, chunk_v=2)
+    assert c.feat2_cat.dtype == jnp.int8 and c.feat2_cat.ndim == 2
+    nv_pad = c.feat2_cat_scale.shape[0]
+    assert nv_pad % (8 * 2) == 0
+    assert c.feat2_cat.shape[0] == nv_pad * SPAN_LP
+    # pre-flattened cache is rejected with a pointer to the right recipe
+    cflat = encode_corpus(model, variables, builder, world.corpus, fcfg)
+    with pytest.raises(ValueError, match="FLAT single-chip int8 feat2"):
+        shard_corpus_cache(copy.copy(cflat), mesh, cfg=fcfg, chunk_v=2)
+
+
+@pytest.mark.parametrize("vmode", ["pallas", "pallas_int8"])
+def test_video_topk_fused_engine_matches_unfused(setup, vmode):
+    """ENGINE-LEVEL contract for video_topk_fused=True: the kernel emits
+    block maxima, selection runs topk_from_block_max on pre-exp scores —
+    outputs must be bit-equal to the same video_score_mode with
+    video_topk_pre_exp=True (identical selection semantics), for both the
+    bf16/f32 and int8 kernels."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    pcfg = dataclasses.replace(rcfg, video_score_mode=vmode,
+                               pallas_interpret=True,
+                               video_topk_pre_exp=True)
+    pcache = encode_corpus(model, variables, builder, world.corpus, pcfg)
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    run = lambda cfg_: {k: np.asarray(v) for k, v in _score_query_batch(
+        model, variables, cfg_, qf, qm,
+        pcache.video_feat1, pcache.video_feat2,
+        pcache.sub_feat1, pcache.sub_feat2,
+        pcache.mask, gt, True).items()}
+    ref = run(pcfg)
+    out = run(dataclasses.replace(pcfg, video_topk_pre_exp=False,
+                                  video_topk_fused=True))
+    for k in ref:
+        np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+
+
+def test_video_topk_fused_with_grouped_shift8_and_external_vr(setup):
+    """video_topk_fused composes with span_topk_mode='grouped_shift8'
+    (bit-equal to the default grouped path) and is inert under external
+    VR (selection comes from the external submission either way)."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    pcfg = dataclasses.replace(rcfg, video_score_mode="pallas",
+                               pallas_interpret=True)
+    pcache = encode_corpus(model, variables, builder, world.corpus, pcfg)
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    nq = qf.shape[0]
+    gt = jnp.asarray(np.arange(nq) % cache.n_videos, jnp.int32)
+    run = lambda cfg_, **kw: {k: np.asarray(v) for k, v in _score_query_batch(
+        model, variables, cfg_, qf, qm,
+        pcache.video_feat1, pcache.video_feat2,
+        pcache.sub_feat1, pcache.sub_feat2,
+        pcache.mask, gt, True, **kw).items()}
+    ref = run(pcfg)
+    out = run(dataclasses.replace(pcfg, video_topk_fused=True,
+                                  span_topk_mode="grouped_shift8"))
+    for k in ("topv_idx", "vcmr_vid_local", "vcmr_st", "vcmr_ed",
+              "svmr_st", "svmr_ed"):
+        np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+    # external VR: identical whether or not fusion is on
+    rngx = np.random.default_rng(5)
+    V = pcfg.max_vcmr_video
+    ext_idx = jnp.asarray(
+        np.stack([rngx.permutation(cache.n_videos)[:V] for _ in range(nq)]),
+        jnp.int32)
+    ext_scores = jnp.asarray(-np.sort(-rngx.random((nq, V))), jnp.float32)
+    kw = dict(use_external_vr=True, external_idx=ext_idx,
+              external_scores=ext_scores)
+    ref_e = run(pcfg, **kw)
+    out_e = run(dataclasses.replace(pcfg, video_topk_fused=True), **kw)
+    for k in ref_e:
+        np.testing.assert_array_equal(out_e[k], ref_e[k], err_msg=k)

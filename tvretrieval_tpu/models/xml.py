@@ -481,6 +481,52 @@ class XML(nn.Module):
         st, ed = self._merged_span_conv(similarity)
         return mask_logits(st, mask_g), mask_logits(ed, mask_g)
 
+    def merged_st_ed_scores_pallas_cat_i8(self, video_query, sub_query,
+                                          f8_flat, f_scales, context_mask,
+                                          gather_idx, chunk_v: int = 16,
+                                          q_tile: int = 128,
+                                          interpret: bool = False):
+        """``merged_st_ed_scores_simgather_cat_i8`` with the corpus-wide
+        sweep run as the fused Pallas kernel (engine mode
+        ``span_score_mode="simsweep_cat_int8_flat"``).
+
+        The cache is the video-major int8 flat layout from
+        ops.pallas_score.build_flat_feat2_i8 ((Nv_pad * lp, 2D) + per-row
+        scales); span_sim_pallas_cat_i8 writes the similarity bf16 in a
+        gather-friendly (Nq, Nv_pad, lp) layout — the s32 integer dot never
+        reaches HBM (what OOM'd the XLA "simsweep_cat_int8" einsum at
+        corpus scale, BENCH_NOTES round 3) and the s8 dot runs at 2x the
+        bf16 MXU rate. The gathered rows are upcast so conv/softmax stay
+        f32.
+
+        Same integer dot as "simsweep_cat_int8"; differs from it only by
+        the kernel's rescale association ((s*qs)*fs vs s*(qs*fs)) and the
+        bf16 similarity store — NOT a parity mode; accuracy contract =
+        trained-checkpoint metric A/B. The kernel itself is bit-equal to
+        ops.pallas_score.span_sim_int8_xla (tests/test_pallas_score.py).
+        Reference op being approximated: model_xml.py:463-480 restricted
+        to the top-V rows of inference.py:348.
+        """
+        from tvretrieval_tpu.ops.pallas_score import span_sim_pallas_cat_i8
+        c = self.cfg
+        assert c.use_video and c.use_sub and c.span_predictor_type == "conv"
+        vq = self.video_query_linear(video_query)
+        sq = self.sub_query_linear(sub_query)
+        qcat = jnp.concatenate([vq, sq], axis=-1).astype(jnp.float32) * 0.5
+        q_scale = jnp.maximum(
+            jnp.max(jnp.abs(qcat), axis=-1, keepdims=True) / 127.0, 1e-12)
+        q8 = jnp.clip(jnp.round(qcat / q_scale), -127, 127).astype(jnp.int8)
+        lp = f_scales.shape[1]
+        sim = span_sim_pallas_cat_i8(q8, q_scale, f8_flat, f_scales, lp=lp,
+                                     chunk_v=chunk_v, q_tile=q_tile,
+                                     interpret=interpret)  # (Nq, Nv_pad, lp)
+        L = context_mask.shape[1]
+        similarity = jnp.take_along_axis(
+            sim, gather_idx[:, :, None], axis=1)[:, :, :L].astype(jnp.float32)
+        mask_g = context_mask[gather_idx]
+        st, ed = self._merged_span_conv(similarity)
+        return mask_logits(st, mask_g), mask_logits(ed, mask_g)
+
     def single_stream_st_ed_scores(self, query, feat2, mask, stream: str, cross: bool = False):
         """Per-stream span logits (reference _get_st_ed_prob :512-551)."""
         c = self.cfg

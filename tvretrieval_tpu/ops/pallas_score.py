@@ -152,7 +152,12 @@ def video_scores_pallas_flat(qvt, qst, fv_flat, fs_flat, n_videos: int,
     """
     rows, d = fv_flat.shape
     nv_pad = rows // lp
-    assert nv_pad % chunk_v == 0 and nv_pad * lp == rows
+    assert nv_pad * lp == rows
+    # chunk_v is an UPPER BOUND (cf. span_sim_pallas_cat_i8): small shards
+    # (sharded engine per-device slices) may hold fewer videos than the
+    # default chunk; fall back to the largest divisor of nv_pad
+    import math
+    chunk_v = math.gcd(nv_pad, chunk_v)
     nq = qvt.shape[1]
     grid = (nv_pad // chunk_v,)
     out = pl.pallas_call(
@@ -223,6 +228,103 @@ def build_flat_feat1(feat1, mask, lp: int | None = None, chunk_v: int = 16,
     return _build_flat_feat1(feat1, mask, lp=lp, chunk_v=chunk_v)
 
 
+def _score_kernel_flat_bmax(qvt_ref, qst_ref, fv_ref, fs_ref, out_ref,
+                            bmax_ref, *, chunk_v: int, lp: int,
+                            n_videos: int):
+    """_score_kernel_flat that ALSO emits the per-grid-step (= per
+    chunk_v-video block) score maximum, and masks pad videos (replicated
+    rows beyond n_videos) to -inf — feeding ops.span.topk_from_block_max,
+    which skips topk_stable_blocked's separate block-max pass over the
+    (Nq, Nv) score matrix (the fused video-score -> top-k stage)."""
+    dn = (((1,), (0,)), ((), ()))
+    nq = qvt_ref.shape[1]
+    sv = jax.lax.dot_general(fv_ref[...], qvt_ref[...], dn,
+                             preferred_element_type=jnp.float32)
+    ss = jax.lax.dot_general(fs_ref[...], qst_ref[...], dn,
+                             preferred_element_type=jnp.float32)
+    mv = sv.reshape(chunk_v, lp, nq).max(axis=1)
+    ms = ss.reshape(chunk_v, lp, nq).max(axis=1)
+    s = (mv + ms) / 2
+    vidx = (pl.program_id(0) * chunk_v
+            + jax.lax.broadcasted_iota(jnp.int32, (chunk_v, nq), 0))
+    s = jnp.where(vidx < n_videos, s, -jnp.inf)
+    out_ref[...] = s
+    bmax_ref[...] = s.max(axis=0)[None, :]
+
+
+def _score_kernel_flat_i8_bmax(qvt_ref, qst_ref, fv_ref, fs_ref, out_ref,
+                               bmax_ref, *, chunk_v: int, lp: int,
+                               n_videos: int):
+    """int8 twin of _score_kernel_flat_bmax (same -inf pad masking and
+    per-block maximum emission on the f32-rescaled scores)."""
+    dn = (((1,), (0,)), ((), ()))
+    nq = qvt_ref.shape[1]
+    sv = jax.lax.dot_general(fv_ref[...], qvt_ref[...], dn,
+                             preferred_element_type=jnp.int32)
+    ss = jax.lax.dot_general(fs_ref[...], qst_ref[...], dn,
+                             preferred_element_type=jnp.int32)
+    mv = sv.reshape(chunk_v, lp, nq).max(axis=1)
+    ms = ss.reshape(chunk_v, lp, nq).max(axis=1)
+    s = (mv + ms).astype(jnp.float32) * (0.5 / (127.0 * 127.0))
+    vidx = (pl.program_id(0) * chunk_v
+            + jax.lax.broadcasted_iota(jnp.int32, (chunk_v, nq), 0))
+    s = jnp.where(vidx < n_videos, s, -jnp.inf)
+    out_ref[...] = s
+    bmax_ref[...] = s.max(axis=0)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("n_videos", "lp", "chunk_v",
+                                             "interpret"))
+def video_scores_pallas_flat_bmax(qvt, qst, fv_flat, fs_flat, n_videos: int,
+                                  lp: int = 104, chunk_v: int = 16,
+                                  interpret: bool = False):
+    """video_scores_pallas_flat variant emitting per-chunk block maxima for
+    the fused video-score -> top-k stage (ops.span.topk_from_block_max).
+
+    Returns (scores (Nq, Nv_pad) f32 with pad videos at -inf,
+    bmax (Nq, Nv_pad / chunk_v) f32). scores[:, :n_videos] is bit-equal to
+    video_scores_pallas_flat; bmax[q, b] == max(scores[q, b*chunk_v :
+    (b+1)*chunk_v]) exactly (tests/test_pallas_score.py). Works for either
+    dtype family: dispatches the int8 kernel when the caches are int8.
+    """
+    rows, d = fv_flat.shape
+    nv_pad = rows // lp
+    assert nv_pad * lp == rows
+    # chunk_v is an UPPER BOUND (cf. span_sim_pallas_cat_i8): small shards
+    # (sharded engine per-device slices) may hold fewer videos than the
+    # default chunk; fall back to the largest divisor of nv_pad
+    import math
+    chunk_v = math.gcd(nv_pad, chunk_v)
+    nq = qvt.shape[1]
+    grid = (nv_pad // chunk_v,)
+    kern = (_score_kernel_flat_i8_bmax if fv_flat.dtype == jnp.int8
+            else _score_kernel_flat_bmax)
+    out, bmax = pl.pallas_call(
+        functools.partial(kern, chunk_v=chunk_v, lp=lp, n_videos=n_videos),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_v * lp, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_v * lp, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk_v, nq), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nv_pad, nq), jnp.float32),
+            jax.ShapeDtypeStruct((nv_pad // chunk_v, nq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qvt, qst, fv_flat, fs_flat)
+    return out.T, bmax.T
+
+
 def _score_kernel_flat_i8(qvt_ref, qst_ref, fv_ref, fs_ref, out_ref, *,
                           chunk_v: int, lp: int):
     """int8 twin of _score_kernel_flat: s8 x s8 -> s32 MXU dots (2x the
@@ -263,7 +365,12 @@ def video_scores_pallas_flat_i8(qvt_i8, qst_i8, fv_flat_i8, fs_flat_i8,
     """
     rows, d = fv_flat_i8.shape
     nv_pad = rows // lp
-    assert nv_pad % chunk_v == 0 and nv_pad * lp == rows
+    assert nv_pad * lp == rows
+    # chunk_v is an UPPER BOUND (cf. span_sim_pallas_cat_i8): small shards
+    # (sharded engine per-device slices) may hold fewer videos than the
+    # default chunk; fall back to the largest divisor of nv_pad
+    import math
+    chunk_v = math.gcd(nv_pad, chunk_v)
     nq = qvt_i8.shape[1]
     out = pl.pallas_call(
         functools.partial(_score_kernel_flat_i8, chunk_v=chunk_v, lp=lp),
@@ -313,9 +420,10 @@ def _span_sim_kernel_i8(q8_ref, qs_ref, f8_ref, fs_ref, out_ref, *,
                                              "interpret"))
 def span_sim_pallas_cat_i8(q8, q_scale, f8_flat, f_scales,
                            lp: int = SPAN_LP, chunk_v: int = 16,
-                           q_tile: int = 256, interpret: bool = False):
+                           q_tile: int = 128, interpret: bool = False):
     """Corpus-wide int8 concatenated span-similarity sweep (engine mode
-    ``span_score_mode="simsweep_cat_int8_flat"``).
+    ``span_score_mode="simsweep_cat_int8_flat"``, wired through
+    engine._score_query_batch -> XML.merged_st_ed_scores_pallas_cat_i8).
 
     Computes sim[q, v, l] = (q8[q] . f8[v*lp+l]) * q_scale[q] * f_scales[v, l]
     and stores it bf16 in a GATHER-FRIENDLY (Nq, Nv_pad, lp) layout: the
@@ -340,12 +448,27 @@ def span_sim_pallas_cat_i8(q8, q_scale, f8_flat, f_scales,
         (Nq, Nv_pad, lp) bf16 similarity. Bit-equal to
         :func:`span_sim_int8_xla` (tests/test_pallas_score.py).
     """
+    if lp % 128 != 0:
+        raise ValueError(f"lp={lp} must be a multiple of 128: the kernel's "
+                         "(qt, chunk*lp) -> (qt, chunk, lp) lane split must "
+                         "be tile-aligned to lower under Mosaic (SPAN_LP)")
     rows, k = f8_flat.shape
     nv_pad = rows // lp
-    assert nv_pad * lp == rows and nv_pad % chunk_v == 0
+    assert nv_pad * lp == rows
+    # chunk_v is an UPPER BOUND: small shards (e.g. the sharded engine's
+    # per-device slices) may hold fewer or non-multiple video counts — fall
+    # back to the largest divisor of nv_pad that fits (the cache builder
+    # guarantees nv_pad % its own chunk_v == 0, so production shapes keep
+    # the requested chunk)
+    import math
+    chunk_v = math.gcd(nv_pad, chunk_v)
     nq = q8.shape[0]
-    # pad queries to a q_tile multiple (int8 sublane tile is 32; q_tile is
-    # kept >= 32-aligned by construction below). Zero rows dot to zero.
+    # pad queries to a q_tile multiple; round q_tile itself up to the int8
+    # sublane tile (32) so the q8 block is always Mosaic-lowerable. The
+    # feat2 block is fetched once per video chunk regardless of q_tile
+    # (queries are the minor grid axis), so q_tile only trades VMEM
+    # footprint against q8 re-fetch traffic. Zero pad rows dot to zero.
+    q_tile = -(-q_tile // 32) * 32
     qt = min(q_tile, -(-nq // 32) * 32)
     pad_q = (-nq) % qt
     if pad_q:
@@ -416,6 +539,9 @@ def build_flat_feat2_i8(feat2_cat, lp: int = SPAN_LP, chunk_v: int = 16):
     similarities must be real values, not zeros.
     """
     nv, L, k = feat2_cat.shape
+    if lp % 128 != 0:
+        raise ValueError(f"lp={lp} must be a multiple of 128 (see "
+                         "span_sim_pallas_cat_i8 / SPAN_LP)")
     if L > lp:
         raise ValueError(
             f"max_ctx_l={L} exceeds the span-sweep kernel row pad lp={lp}; "

@@ -68,12 +68,20 @@ def shard_corpus_cache(cache, mesh: Mesh, cfg=None, chunk_v: int = 16):
             "cache holds the FLAT single-chip pallas feat1 layout; pass the "
             "(Nv, L, D) cache and let shard_corpus_cache build the per-shard "
             "flat layout (cfg with video_score_mode='pallas')")
+    if cache.feat2_cat is not None and cache.feat2_cat.ndim == 2:
+        raise ValueError(
+            "cache holds the FLAT single-chip int8 feat2 layout; encode with "
+            "span_score_mode='simsweep_cat' and let shard_corpus_cache build "
+            "the per-shard flat layout (cfg with span_score_mode="
+            "'simsweep_cat_int8_flat')")
     if cfg is not None:
         pallas = (getattr(cfg, "video_score_mode", "einsum")
                   in ("pallas", "pallas_int8")
                   and cache.video_feat1 is not None
                   and cache.sub_feat1 is not None)
-        mult = mesh.devices.size * (chunk_v if pallas else 1)
+        flat2 = (getattr(cfg, "span_score_mode", "")
+                 == "simsweep_cat_int8_flat" and cache.feat2_cat is not None)
+        mult = mesh.devices.size * (chunk_v if (pallas or flat2) else 1)
         arrs, _ = pad_videos_to_multiple(
             [cache.video_feat1, cache.video_feat2, cache.sub_feat1,
              cache.sub_feat2, cache.mask, cache.feat2_cat,
@@ -96,6 +104,15 @@ def shard_corpus_cache(cache, mesh: Mesh, cfg=None, chunk_v: int = 16):
                 # kernel on the int8 dtype (engine.py "pallas_int8")
                 cache.video_feat1 = quantize_unit_i8(cache.video_feat1)
                 cache.sub_feat1 = quantize_unit_i8(cache.sub_feat1)
+        if flat2:
+            # video-major int8 flat feat2 for the per-shard fused Pallas
+            # sweep: videos are already padded to a mesh * chunk_v
+            # multiple, so the (Nv_pad * lp, 2D) rows split at video
+            # boundaries under P("data") and each shard runs the kernel
+            # on exactly its own videos (engine.py "simsweep_cat_int8_flat")
+            from tvretrieval_tpu.ops.pallas_score import build_flat_feat2_i8
+            cache.feat2_cat, cache.feat2_cat_scale = build_flat_feat2_i8(
+                cache.feat2_cat, chunk_v=chunk_v)
     sh = NamedSharding(mesh, P("data"))
     put = lambda x: None if x is None else jax.device_put(x, sh)
     cache.video_feat1 = put(cache.video_feat1)
@@ -260,6 +277,18 @@ def score_query_batch_sharded(model: XML, variables, cfg,
                 st_logits, ed_logits = model.apply(
                     vars_, vq, sq, vf2, sf2, cmask, gather_idx,
                     method=XML.merged_st_ed_scores_simgather_cat_i8)
+            elif mode == "simsweep_cat_int8_flat":
+                # per-shard fused Pallas int8 sweep: vf2 carries the local
+                # video-major flat int8 rows ((nv_local * lp, 2D)), sf2 the
+                # (nv_local, lp) f32 row scales. The integer dot + kernel
+                # rescale + bf16 store are IDENTICAL to the single-chip
+                # flat engine per video, so sharded outputs match the
+                # single-device flat mode exactly
+                # (tests/test_span_score_modes.py).
+                st_logits, ed_logits = model.apply(
+                    vars_, vq, sq, vf2, sf2, cmask, gather_idx,
+                    interpret=getattr(cfg, "pallas_interpret", False),
+                    method=XML.merged_st_ed_scores_pallas_cat_i8)
             elif mode.startswith("simsweep_cat"):
                 # per-shard concatenated-cache sweep (one K=2D einsum over
                 # the local feat2_cat slice, riding the vf2 slot — see
@@ -294,11 +323,19 @@ def score_query_batch_sharded(model: XML, variables, cfg,
 
         L = st_top.shape[-1]
         n_local = min(N, v_local * L * W)
-        if getattr(cfg, "span_topk_mode", "grouped") == "grouped_shift":
+        topk_mode = getattr(cfg, "span_topk_mode", "grouped")
+        if topk_mode == "grouped_shift":
             # hierarchical shift-expansion top-k (bit-equal to the flat
             # banded path, incl. the keep transform — ops/span.py)
             from tvretrieval_tpu.ops.span import banded_topk_spans_grouped_shift
             vid_loc, st_i, ed_i, scores = banded_topk_spans_grouped_shift(
+                st_top, ed_top, top_local, cfg.min_pred_l, cfg.max_pred_l,
+                n_local, keep_mask=keep)
+        elif topk_mode == "grouped_shift8":
+            # aligned-8-block gather expansion (bit-equal, incl. keep)
+            from tvretrieval_tpu.ops.span import (
+                banded_topk_spans_grouped_shift8)
+            vid_loc, st_i, ed_i, scores = banded_topk_spans_grouped_shift8(
                 st_top, ed_top, top_local, cfg.min_pred_l, cfg.max_pred_l,
                 n_local, keep_mask=keep)
         else:

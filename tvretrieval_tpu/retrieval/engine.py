@@ -81,6 +81,19 @@ class RetrievalConfig:
     #               roundings (<= row_max/254 per component). NOT a parity
     #               mode: accuracy contract = trained-checkpoint metric
     #               A/B (BENCH_NOTES round 3), same as pallas_int8.
+    #   "simsweep_cat_int8_flat": the int8 cat sweep as a fused Pallas
+    #               kernel over the video-major flat int8 cache
+    #               (ops/pallas_score.span_sim_pallas_cat_i8): the s8 dot
+    #               runs at 2x the bf16 MXU rate and the s32 similarity is
+    #               rescaled IN VMEM and stored bf16 in a gather-friendly
+    #               (Nq, Nv_pad, lp) layout — the s32 materialization +
+    #               layout copy that OOM'd "simsweep_cat_int8" at corpus
+    #               scale never happens. Same integer dot as
+    #               "simsweep_cat_int8" (differs only by rescale
+    #               association + the bf16 store); kernel bit-equal to the
+    #               XLA int8 reference (tests/test_pallas_score.py). NOT a
+    #               parity mode: accuracy contract = trained-checkpoint
+    #               metric A/B.
     #   "gather":   gather top-V feature rows, then sim+conv (round-2 path)
     span_score_mode: str = "gather"
     # video-level q2c stage:
@@ -102,11 +115,13 @@ class RetrievalConfig:
     #             mode: accuracy contract = the trained-checkpoint metric
     #             A/B in BENCH_NOTES round 3.
     video_score_mode: str = "einsum"
-    # VCMR span top-k candidate expansion (both bit-equal to the flat
+    # VCMR span top-k candidate expansion (all bit-equal to the flat
     # banded top-k; see ops/span.py):
-    #   "grouped":       band-materializing expansion ((Nq, V, L, W) tensor)
-    #   "grouped_shift": row gather + one-hot W-shift reduction (~200x less
-    #                    expansion traffic at corpus scale)
+    #   "grouped":        band-materializing expansion ((Nq, V, L, W) tensor)
+    #   "grouped_shift":  row gather + one-hot W-shift reduction (~200x less
+    #                     expansion traffic at corpus scale)
+    #   "grouped_shift8": aligned-8-block gather + 8-lane one-hot reduction
+    #                     (~L/8 less gather + shift work than grouped_shift)
     span_topk_mode: str = "grouped"
     # run the Pallas video-score kernel in interpret mode (CPU tests only;
     # Mosaic does not lower on the CPU backend)
@@ -118,15 +133,38 @@ class RetrievalConfig:
     # resolution; scores are equal either way). Saves the (Nq, Nv)
     # transcendental per query batch (~17M exps at corpus scale).
     video_topk_pre_exp: bool = False
+    # fuse the video top-k's block-max pass into the flat video-score
+    # kernel (video_score_mode "pallas"/"pallas_int8" only): the kernel
+    # emits per-chunk maxima alongside the scores
+    # (ops/pallas_score.video_scores_pallas_flat_bmax) and selection runs
+    # ops.span.topk_from_block_max on the PRE-exp scores — skipping both
+    # the separate (Nq, Nv) block-max read pass and the full-matrix exp
+    # (implies the video_topk_pre_exp ranking semantics). Bit-equal
+    # selection (tests/test_pallas_topk.py, tests/test_span_score_modes.py).
+    video_topk_fused: bool = False
 
     @property
     def cat_mode(self) -> bool:
         return self.span_score_mode in ("simsweep_cat", "simsweep_cat_bf16",
-                                        "simsweep_cat_int8")
+                                        "simsweep_cat_int8",
+                                        "simsweep_cat_int8_flat")
 
     @property
     def cache_dtype(self):
         return jnp.bfloat16 if self.cache_dtype_str == "bfloat16" else jnp.float32
+
+
+def auto_interpret(cfg: RetrievalConfig) -> RetrievalConfig:
+    """Return cfg with pallas_interpret=True when the active engine modes
+    need Mosaic kernels but the backend is CPU (smoke drives / tests) —
+    Mosaic only lowers on TPU; interpret mode is numerics-identical."""
+    needs = (cfg.video_score_mode in ("pallas", "pallas_int8")
+             or cfg.span_score_mode == "simsweep_cat_int8_flat")
+    if (needs and not cfg.pallas_interpret
+            and jax.default_backend() == "cpu"):
+        import dataclasses
+        return dataclasses.replace(cfg, pallas_interpret=True)
+    return cfg
 
 
 @dataclass
@@ -238,6 +276,11 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
             # unit-norm, so scales are kept; halves the feat2 HBM)
             from tvretrieval_tpu.ops.pallas_score import quantize_rows_i8
             feat2_cat, feat2_cat_scale = quantize_rows_i8(feat2_cat)
+        elif cfg.span_score_mode == "simsweep_cat_int8_flat":
+            # video-major int8 flat layout for the fused Pallas sweep
+            # (quantize_rows_i8 + L -> SPAN_LP zero pad in one builder)
+            from tvretrieval_tpu.ops.pallas_score import build_flat_feat2_i8
+            feat2_cat, feat2_cat_scale = build_flat_feat2_i8(feat2_cat)
     vf1_all, sf1_all, mask_all = cat("vf1"), cat("sf1"), cat("mask")
     if (cfg.video_score_mode in ("pallas", "pallas_int8")
             and vf1_all is not None
@@ -345,6 +388,10 @@ def encode_corpus_resident(model: XML, variables, device_data,
         # size) + scales materialize (transient 1.5x of feat2_cat)
         from tvretrieval_tpu.ops.pallas_score import quantize_rows_i8
         feat2_cat, feat2_cat_scale = quantize_rows_i8(feat2_cat)
+    elif (feat2_cat is not None
+            and cfg.span_score_mode == "simsweep_cat_int8_flat"):
+        from tvretrieval_tpu.ops.pallas_score import build_flat_feat2_i8
+        feat2_cat, feat2_cat_scale = build_flat_feat2_i8(feat2_cat)
     return CorpusCache(
         video_feat1=vf1_all, video_feat2=get("vf2"),
         sub_feat1=sf1_all, sub_feat2=get("sf2"),
@@ -403,7 +450,23 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
                 video_scores_pallas_flat_i8)
             normq = lambda q: q / (jnp.linalg.norm(q, axis=-1,
                                                    keepdims=True) + 1e-12)
-            if cfg.video_score_mode == "pallas_int8":
+            fused_bmax = None
+            if getattr(cfg, "video_topk_fused", False):
+                from tvretrieval_tpu.ops.pallas_score import (
+                    video_scores_pallas_flat_bmax)
+                if cfg.video_score_mode == "pallas_int8":
+                    qvt = quantize_unit_i8(normq(vq)).T
+                    qst = quantize_unit_i8(normq(sq)).T
+                else:
+                    qvt = normq(vq).astype(video_feat1.dtype).T
+                    qst = normq(sq).astype(sub_feat1.dtype).T
+                scores_pad, fused_bmax = video_scores_pallas_flat_bmax(
+                    qvt, qst, video_feat1, sub_feat1,
+                    n_videos=ctx_mask.shape[0],
+                    lp=flat_lp(ctx_mask.shape[1]),
+                    interpret=getattr(cfg, "pallas_interpret", False))
+                q2c = scores_pad[:, :ctx_mask.shape[0]]
+            elif cfg.video_score_mode == "pallas_int8":
                 # caches were quantized at build; quantize the normalized
                 # queries the same way (s8 x s8 -> s32 MXU dots)
                 q2c = video_scores_pallas_flat_i8(
@@ -420,6 +483,7 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
                     lp=flat_lp(ctx_mask.shape[1]),
                     interpret=getattr(cfg, "pallas_interpret", False))
         else:
+            fused_bmax = None
             v_scores = scores_prenormalized(vq, video_feat1)
             s_scores = scores_prenormalized(sq, sub_feat1)
             q2c = (v_scores + s_scores) / 2
@@ -430,6 +494,15 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
             # (reference inference.py:346-355)
             topv_idx = external_idx
             topv_scores = jnp.exp(cfg.q2c_alpha * external_scores)
+        elif fused_bmax is not None:
+            # kernel-emitted block maxima: selection skips the separate
+            # block-max pass AND the full-matrix exp (pre-exp semantics —
+            # exp is strictly monotone; see video_topk_pre_exp)
+            from tvretrieval_tpu.ops.span import topk_from_block_max
+            topv_q2c, topv_idx = topk_from_block_max(
+                scores_pad, fused_bmax, V,
+                block=scores_pad.shape[1] // fused_bmax.shape[1])
+            topv_scores = jnp.exp(cfg.q2c_alpha * topv_q2c)
         elif getattr(cfg, "video_topk_pre_exp", False):
             # exact stable top-k on the raw cosine scores; exp only the V
             # selected values (identical ranking wherever exp does not
@@ -447,6 +520,12 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
                 variables, vq, sq, feat2_cat, feat2_cat_scale, ctx_mask,
                 gather_idx,
                 method=XML.merged_st_ed_scores_simgather_cat_i8)
+        elif cfg.span_score_mode == "simsweep_cat_int8_flat":
+            st_logits, ed_logits = model.apply(
+                variables, vq, sq, feat2_cat, feat2_cat_scale, ctx_mask,
+                gather_idx,
+                interpret=getattr(cfg, "pallas_interpret", False),
+                method=XML.merged_st_ed_scores_pallas_cat_i8)
         elif cfg.cat_mode:
             st_logits, ed_logits = model.apply(
                 variables, vq, sq, feat2_cat, ctx_mask, gather_idx,
@@ -497,9 +576,13 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
     # hold top spans; only those expand and sort. Bit-equal to the flat
     # banded top-k (ops/span.py) and 3.7x faster on v5e (14.1 -> 3.8 ms at
     # corpus scale; the Pallas streaming-sort kernel measured 21.7 ms).
-    if getattr(cfg, "span_topk_mode", "grouped") == "grouped_shift":
+    topk_mode = getattr(cfg, "span_topk_mode", "grouped")
+    if topk_mode == "grouped_shift":
         from tvretrieval_tpu.ops.span import banded_topk_spans_grouped_shift
         span_topk = banded_topk_spans_grouped_shift
+    elif topk_mode == "grouped_shift8":
+        from tvretrieval_tpu.ops.span import banded_topk_spans_grouped_shift8
+        span_topk = banded_topk_spans_grouped_shift8
     else:
         span_topk = banded_topk_spans_grouped
     vcmr_vid_local, vcmr_st, vcmr_ed, vcmr_scores = span_topk(

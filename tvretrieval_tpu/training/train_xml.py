@@ -142,7 +142,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_query_bsz", type=int, default=50)
     p.add_argument("--eval_context_bsz", type=int, default=200)
     p.add_argument("--span_score_mode", type=str, default="gather",
-                   choices=["gather", "simsweep", "simsweep_cat", "simsweep_cat_bf16", "simsweep_cat_int8"],
+                   choices=["gather", "simsweep", "simsweep_cat", "simsweep_cat_bf16",
+                            "simsweep_cat_int8", "simsweep_cat_int8_flat"],
                    help="retrieval-eval span scoring path (engine.py; "
                         "simsweep_cat is fastest, gather is the bit-exact "
                         "reference-faithful default)")
@@ -150,10 +151,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["einsum", "pallas", "pallas_int8"],
                    help="retrieval-eval video-level scoring path")
     p.add_argument("--span_topk_mode", type=str, default="grouped",
-                   choices=["grouped", "grouped_shift"],
+                   choices=["grouped", "grouped_shift", "grouped_shift8"],
                    help="VCMR span top-k expansion (both bit-exact; "
                         "grouped_shift avoids the (Nq, V, L, W) band "
                         "tensor — faster and ~4.5 GB less HBM at scale)")
+    p.add_argument("--video_topk_fused", type=int, default=0,
+                   help="1: the flat video-score kernel emits block maxima "
+                        "and video top-k runs fused (pre-exp semantics; "
+                        "video_score_mode pallas/pallas_int8 only)")
     p.add_argument("--eval_cache_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="corpus-cache dtype for retrieval eval; bfloat16 "
@@ -258,7 +263,10 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
         cache_dtype_str=getattr(args, "eval_cache_dtype", "float32"),
         span_score_mode=getattr(args, "span_score_mode", "gather"),
         video_score_mode=getattr(args, "video_score_mode", "einsum"),
-        span_topk_mode=getattr(args, "span_topk_mode", "grouped"))
+        span_topk_mode=getattr(args, "span_topk_mode", "grouped"),
+        video_topk_fused=bool(getattr(args, "video_topk_fused", 0) or 0))
+    from tvretrieval_tpu.retrieval.engine import auto_interpret
+    rcfg = auto_interpret(rcfg)
     # test_public rows carry no GT (no ts/vid_name): generate the submission
     # only, drop SVMR, skip metrics (reference inference.py:494-503)
     has_gt = bool(eval_rows) and "ts" in eval_rows[0]
@@ -360,7 +368,10 @@ def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
         cache_dtype_str=getattr(args, "eval_cache_dtype", "float32"),
         span_score_mode=getattr(args, "span_score_mode", "gather"),
         video_score_mode=getattr(args, "video_score_mode", "einsum"),
-        span_topk_mode=getattr(args, "span_topk_mode", "grouped"))
+        span_topk_mode=getattr(args, "span_topk_mode", "grouped"),
+        video_topk_fused=bool(getattr(args, "video_topk_fused", 0) or 0))
+    from tvretrieval_tpu.retrieval.engine import auto_interpret
+    rcfg = auto_interpret(rcfg)
     if device_data is not None:
         cache = encode_corpus_resident(model, variables, device_data,
                                        corpus, rcfg)
