@@ -69,6 +69,35 @@ def test_grouped_matches_flat_exactly(nq, V, L, min_l, max_l, top_n, kw):
     for name, r, g in zip(("vid", "st", "ed", "scores"), ref, got_s):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r),
                                       err_msg="shift " + name)
+    # aligned-8-block gather expansion variant: same bit-for-bit contract
+    from tvretrieval_tpu.ops.span import banded_topk_spans_grouped_shift8
+    got_8 = banded_topk_spans_grouped_shift8(st, ed, vs, min_l, max_l, top_n)
+    for name, r, g in zip(("vid", "st", "ed", "scores"), ref, got_8):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r),
+                                      err_msg="shift8 " + name)
+
+
+@pytest.mark.parametrize("nq,V,L,min_l,max_l,top_n", [
+    (3, 9, 20, 1, 7, 50),
+    (2, 5, 33, 2, 16, 200),
+    (2, 7, 16, 1, 5, 100),
+])
+def test_grouped_variants_keep_mask_exact(nq, V, L, min_l, max_l, top_n):
+    """The keep_mask transform (sharded engine: exclude videos outside the
+    exact global top-V) must be bit-equal across the flat, shift, and
+    shift8 expansions."""
+    from tvretrieval_tpu.ops.span import (banded_topk_spans_grouped_shift,
+                                          banded_topk_spans_grouped_shift8)
+    st, ed, vs = _case(nq, V, L, seed=nq * 53 + V)
+    rng = np.random.default_rng(nq + V)
+    keep = jnp.asarray((rng.random((nq, V)) > 0.4).astype(np.float32))
+    ref = banded_topk_spans(st, ed, vs, min_l, max_l, top_n, keep_mask=keep)
+    for fn, tag in ((banded_topk_spans_grouped_shift, "shift"),
+                    (banded_topk_spans_grouped_shift8, "shift8")):
+        got = fn(st, ed, vs, min_l, max_l, top_n, keep_mask=keep)
+        for name, r, g in zip(("vid", "st", "ed", "scores"), ref, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r),
+                                          err_msg=f"{tag} {name}")
 
 
 @pytest.mark.parametrize("n,k,block,mode", [

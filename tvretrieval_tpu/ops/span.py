@@ -127,6 +127,41 @@ def topk_stable_blocked(scores: jnp.ndarray, k: int, block: int = 16):
     return vals, jnp.minimum(src, n - 1).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("k", "block"))
+def topk_from_block_max(scores_padded: jnp.ndarray, bmax: jnp.ndarray,
+                        k: int, block: int = 16):
+    """topk_stable_blocked when the block maxima are ALREADY computed —
+    e.g. emitted by the fused video-score kernel
+    (ops.pallas_score.video_scores_pallas_flat_bmax) — skipping the
+    separate block-max pass over the full (Nq, N_pad) score matrix.
+
+    Args:
+        scores_padded: (Nq, N_pad) with N_pad % block == 0; positions
+            beyond the true element count must be -inf (the kernel masks
+            pad videos to -inf).
+        bmax: (Nq, N_pad / block) exact per-block maxima of scores_padded.
+        k: top-k count; must be <= the true (non--inf) element count for
+            bit-equality with ``lax.top_k`` over the unpadded row.
+
+    Returns (values, indices), bit-equal to
+    ``topk_stable_blocked(scores_padded[:, :n], k, block)`` (same cover
+    argument: -inf pad blocks rank strictly below any real block, and the
+    candidate pool gathered from selected blocks contains every true
+    top-k element; tests/test_pallas_topk.py).
+    """
+    nq, n_pad = scores_padded.shape
+    nb = n_pad // block
+    assert bmax.shape == (nq, nb)
+    kb = min(k, nb)
+    _, bidx = jax.lax.top_k(bmax, kb)
+    bidx = jax.lax.sort(bidx, dimension=1)
+    pool = jnp.take_along_axis(scores_padded.reshape(nq, nb, block),
+                               bidx[:, :, None], axis=1)     # (Nq, kb, block)
+    vals, pos = jax.lax.top_k(pool.reshape(nq, kb * block), min(k, kb * block))
+    src = jnp.take_along_axis(bidx, pos // block, axis=1) * block + pos % block
+    return vals, jnp.minimum(src, n_pad - 1).astype(jnp.int32)
+
+
 def _band_indices(L: int, min_l: int, max_l: int):
     """(L, W) end-indices of the valid span band; W = max_l - min_l.
 
@@ -378,6 +413,103 @@ def banded_topk_spans_grouped_shift(st_probs: jnp.ndarray, ed_probs: jnp.ndarray
     ed_g = jnp.stack(
         [(onehot * jax.lax.dynamic_slice_in_dim(ed_padded, min_l + w, L,
                                                 axis=2)).sum(axis=2)
+         for w in range(W)], axis=-1)                            # (Nq, G, W)
+    valid_g = ((g_st[:, :, None] + min_l + jnp.arange(W)[None, None]) < L
+               ).astype(st_probs.dtype)
+    vals = ((st_g[:, :, None] * ed_g) * vs_g[:, :, None]) * valid_g
+    if keep_mask is not None:
+        keep_g = jnp.take_along_axis(keep_mask, g_vid, axis=1)   # (Nq, G)
+        vals = vals * keep_g[:, :, None] - (1.0 - keep_g)[:, :, None]
+    canon = gidx[:, :, None] * W + jnp.arange(W)[None, None]
+
+    pool = vals.reshape(nq, -1)
+    k = min(top_n, pool.shape[1])
+    scores, pos = jax.lax.top_k(pool, k)
+    flat = jnp.take_along_axis(canon.reshape(nq, -1), pos, axis=1)
+    if k < top_n:
+        scores = jnp.pad(scores, ((0, 0), (0, top_n - k)))
+        flat = jnp.pad(flat, ((0, 0), (0, top_n - k)))
+    vid = flat // (L * W)
+    rem = flat % (L * W)
+    m = rem // W
+    n = m + min_l + rem % W
+    return (vid.astype(jnp.int32), m.astype(jnp.int32),
+            n.astype(jnp.int32), scores)
+
+
+@partial(jax.jit, static_argnames=("min_l", "max_l", "top_n"))
+def banded_topk_spans_grouped_shift8(st_probs: jnp.ndarray,
+                                     ed_probs: jnp.ndarray,
+                                     video_scores: jnp.ndarray, min_l: int,
+                                     max_l: int, top_n: int,
+                                     keep_mask: jnp.ndarray | None = None):
+    """banded_topk_spans_grouped_shift with an ALIGNED-8-BLOCK gather
+    expansion (round-4 candidate for the span top-k stage).
+
+    Stages 1-2 (group max via window max of ed, stable top-k group select)
+    are identical to banded_topk_spans_grouped_shift. The expansion
+    differs: instead of row-gathering each selected group's FULL ed row
+    ((Nq, G, L)) and doing W one-hot shift reductions over L lanes, the
+    flat (V*L) ed tensor is viewed as 8-element blocks (the sublane tile)
+    and each group gathers only the NB = ceil((7+W)/8) consecutive blocks
+    covering its window — (Nq, G, NB*8) — then W one-hot reductions run
+    over just 8 lanes:
+
+        ed_g[q, g, w] = sum_{j<8} onehot(j == (p0 % 8))[q, g, j]
+                        * ed_blocks[q, g, j + w],  p0 = g_vid*L + g_st + min_l
+
+    ~L/(NB*8) less gather traffic and ~L/8 less shift-reduction work than
+    the full-row variant. Reads past a video's L (invalid ends) land in
+    the NEXT video's flat values (or the zero tail pad) — finite values
+    that the exact ``* valid`` zero-multiply cancels, reproducing the flat
+    path's exact 0.0 for invalid ends (or the keep transform's exact -1).
+    The one-hot sum adds exactly one f32 value to zeros, so outputs are
+    bit-for-bit equal to banded_topk_spans_grouped_shift /
+    banded_topk_spans (pinned by tests/test_pallas_topk.py).
+    """
+    nq, v, L = st_probs.shape
+    W = max_l - min_l
+
+    rw = jax.lax.reduce_window(
+        ed_probs, 0.0, jax.lax.max, (1, 1, W), (1, 1, 1),
+        padding=((0, 0), (0, 0), (0, W - 1)))
+    wmax = jnp.pad(rw, ((0, 0), (0, 0), (0, min_l)))[..., min_l:]
+    gmax = (st_probs * wmax) * video_scores[:, :, None]          # (Nq, V, L)
+    if keep_mask is not None:
+        gmax = (gmax * keep_mask[:, :, None]
+                - (1.0 - keep_mask)[:, :, None])
+
+    k_groups = min(top_n, v * L)
+    _, gidx = topk_stable_blocked(gmax.reshape(nq, v * L), k_groups,
+                                  block=8)                        # (Nq, G)
+    gidx = jax.lax.sort(gidx, dimension=1)
+    g_vid = gidx // L
+    g_st = gidx % L
+
+    take2 = lambda x, i: jnp.take_along_axis(x.reshape(nq, v * L), i, axis=1)
+    st_g = take2(st_probs, gidx)                                 # (Nq, G)
+    vs_g = jnp.take_along_axis(video_scores, g_vid, axis=1)
+
+    # aligned-8-block gather over the flat (V*L) ed axis: NB consecutive
+    # blocks cover any W-window regardless of its in-block offset
+    nb = (W + 14) // 8                       # ceil((7 + W) / 8)
+    flat_len = v * L + min_l + 8 * nb        # window tail stays in-bounds
+    pad_to = -(-flat_len // 8) * 8
+    ed_flat = jnp.pad(ed_probs.reshape(nq, v * L),
+                      ((0, 0), (0, pad_to - v * L)))
+    ed_blocks_src = ed_flat.reshape(nq, pad_to // 8, 8)
+    p0 = gidx + min_l                        # == g_vid * L + g_st + min_l
+    b0 = p0 // 8
+    r = p0 % 8
+    bidx = b0[:, :, None] + jnp.arange(nb, dtype=gidx.dtype)[None, None]
+    rows = jnp.take_along_axis(
+        ed_blocks_src, bidx.reshape(nq, -1)[:, :, None], axis=1)
+    edn = rows.reshape(nq, k_groups, nb * 8)                     # (Nq, G, NB*8)
+    onehot8 = (jnp.arange(8, dtype=jnp.int32)[None, None]
+               == r[:, :, None]).astype(edn.dtype)               # (Nq, G, 8)
+    ed_g = jnp.stack(
+        [(onehot8 * jax.lax.dynamic_slice_in_dim(edn, w, 8, axis=2)
+          ).sum(axis=2)
          for w in range(W)], axis=-1)                            # (Nq, G, W)
     valid_g = ((g_st[:, :, None] + min_l + jnp.arange(W)[None, None]) < L
                ).astype(st_probs.dtype)

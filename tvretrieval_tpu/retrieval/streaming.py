@@ -225,9 +225,14 @@ def _span_stage(model: XML, variables, cfg, vq, sq, vf2_g, sf2_g, mask_g,
     ed_probs = jax.nn.softmax(ed_logits.astype(f32), axis=-1)
     V = cfg.max_vcmr_video
     topv_exp = jnp.exp(cfg.q2c_alpha * topv_scores_cos)
-    span_topk = (banded_topk_spans_grouped_shift
-                 if getattr(cfg, "span_topk_mode", "grouped") == "grouped_shift"
-                 else banded_topk_spans_grouped)   # bit-equal (ops/span.py)
+    topk_mode = getattr(cfg, "span_topk_mode", "grouped")
+    if topk_mode == "grouped_shift8":
+        from tvretrieval_tpu.ops.span import banded_topk_spans_grouped_shift8
+        span_topk = banded_topk_spans_grouped_shift8
+    else:
+        span_topk = (banded_topk_spans_grouped_shift
+                     if topk_mode == "grouped_shift"
+                     else banded_topk_spans_grouped)  # bit-equal (ops/span.py)
     vid_local, st_i, ed_i, scores = span_topk(
         st_probs[:, :V], ed_probs[:, :V], topv_exp, cfg.min_pred_l,
         cfg.max_pred_l, cfg.max_before_nms)
