@@ -52,6 +52,8 @@ def main():
                                                   video_scores_pallas_flat)
     from tvretrieval_tpu.ops.span import (banded_topk_spans_grouped,
                                           banded_topk_spans_grouped_shift,
+                                          banded_topk_spans_grouped_shift8,
+                                          topk_from_block_max,
                                           topk_stable_blocked)
     from tvretrieval_tpu.retrieval.engine import RetrievalConfig, _score_query_batch
 
@@ -106,6 +108,15 @@ def main():
     from tvretrieval_tpu.ops.pallas_score import (quantize_unit_i8,
                                                   video_scores_pallas_flat_i8)
     vf1_i8, sf1_i8 = quantize_unit_i8(vf1_flat), quantize_unit_i8(sf1_flat)
+    # the einsum reference stage needs the (Nv, L, D) 3-D caches resident
+    # (2.24 GB). Its number is documented (BENCH_NOTES r2/r3: ~46 ms at
+    # 800); with the round-4 int8-flat span cache also resident the full
+    # layout set risks OOM, so the stage is opt-in: PROFILE_EINSUM=1.
+    profile_einsum = bool(os.environ.get("PROFILE_EINSUM"))
+    if not profile_einsum:
+        vf1.delete()
+        sf1.delete()
+        vf1 = sf1 = None
 
     @jax.jit
     def s_vscore_pallas(vq, sq, vf1_flat, sf1_flat):
@@ -136,6 +147,23 @@ def main():
     def s_topv(q2c):
         return topk_stable_blocked(jnp.exp(rcfg.q2c_alpha * q2c), V)
 
+    # round-4 fused video-score -> top-k: the kernel emits per-chunk block
+    # maxima; topk_from_block_max selects top-V without re-reading the
+    # full (Nq, Nv) matrix or the full-matrix exp (pre-exp semantics)
+    from tvretrieval_tpu.ops.pallas_score import (
+        video_scores_pallas_flat_bmax)
+
+    @jax.jit
+    def s_vscore_i8_fused_topk(vq, sq, vf1_i8, sf1_i8):
+        nrm = lambda q: q / (jnp.linalg.norm(q, axis=-1, keepdims=True)
+                             + 1e-12)
+        scores_pad, bmax = video_scores_pallas_flat_bmax(
+            quantize_unit_i8(nrm(vq)).T, quantize_unit_i8(nrm(sq)).T,
+            vf1_i8, sf1_i8, n_videos=N_VIDEOS, interpret=interp)
+        tq2c, tidx = topk_from_block_max(
+            scores_pad, bmax, V, block=scores_pad.shape[1] // bmax.shape[1])
+        return jnp.exp(rcfg.q2c_alpha * tq2c), tidx
+
     topv_scores, topv_idx = s_topv(q2c)
     gather_idx = jnp.concatenate([topv_idx, gt[:, None]], axis=1)
 
@@ -150,6 +178,20 @@ def main():
     st_probs, ed_probs = s_span_sim(variables, vq, sq, feat2_cat, mask,
                                     gather_idx)
 
+    # round-4 fused int8 flat span sweep (sweep + gather + conv in one
+    # Pallas-backed model method; the s32 dot never reaches HBM)
+    from tvretrieval_tpu.ops.pallas_score import build_flat_feat2_i8
+    feat2_flat_i8, feat2_flat_scale = build_flat_feat2_i8(feat2_cat)
+
+    @jax.jit
+    def s_span_sim_i8flat(vars_, vq, sq, f8, fsc, mask, gather_idx):
+        st_l, ed_l = model.apply(
+            vars_, vq, sq, f8, fsc, mask, gather_idx, interpret=interp,
+            method=XML.merged_st_ed_scores_pallas_cat_i8)
+        st = jax.nn.softmax(st_l.astype(jnp.float32), axis=-1)
+        ed = jax.nn.softmax(ed_l.astype(jnp.float32), axis=-1)
+        return st, ed
+
     @jax.jit
     def s_topk_spans(st_probs, ed_probs, topv_scores):
         return banded_topk_spans_grouped(
@@ -162,31 +204,85 @@ def main():
             st_probs[:, :V], ed_probs[:, :V], topv_scores,
             rcfg.min_pred_l, rcfg.max_pred_l, rcfg.max_before_nms)
 
+    @jax.jit
+    def s_topk_spans_shift8(st_probs, ed_probs, topv_scores):
+        return banded_topk_spans_grouped_shift8(
+            st_probs[:, :V], ed_probs[:, :V], topv_scores,
+            rcfg.min_pred_l, rcfg.max_pred_l, rcfg.max_before_nms)
+
     stages = {
         "encode_query": lambda: s_encode_q(variables, q_feat, q_mask),
         "video_score_pallas": lambda: s_vscore_pallas(vq, sq, vf1_flat,
                                               sf1_flat),
         "video_score_pallas_int8": lambda: s_vscore_i8(vq, sq, vf1_i8,
                                                        sf1_i8),
-        "video_score_einsum": lambda: s_vscore_einsum(vq, sq, vf1, sf1, mask),
         "video_topk": lambda: s_topv(q2c),
+        "video_score_i8_fused_topk": lambda: s_vscore_i8_fused_topk(
+            vq, sq, vf1_i8, sf1_i8),
         "span_sim_gather_conv_softmax": lambda: s_span_sim(
             variables, vq, sq, feat2_cat, mask, gather_idx),
+        "span_sim_i8flat": lambda: s_span_sim_i8flat(
+            variables, vq, sq, feat2_flat_i8, feat2_flat_scale, mask,
+            gather_idx),
         "grouped_topk_spans": lambda: s_topk_spans(st_probs, ed_probs,
                                                    topv_scores),
         "grouped_topk_spans_shift": lambda: s_topk_spans_shift(
             st_probs, ed_probs, topv_scores),
+        "grouped_topk_spans_shift8": lambda: s_topk_spans_shift8(
+            st_probs, ed_probs, topv_scores),
     }
+
+    # --- analytic roofline ledger (VERDICT r3 #8): per-stage FLOPs/bytes
+    # at this shape, against the v5e chip peaks. roofline ms = max(compute,
+    # HBM traffic); MFU% = flops / (peak * measured time).
+    PEAK_BF16, PEAK_INT8, HBM = 197e12, 394e12, 819e9   # v5e
+    n, D, D2 = qbsz, HIDDEN, 2 * HIDDEN
+    NVP = vf1_flat.shape[0] // 104                      # flat-padded videos
+    NVL = N_VIDEOS * N_CLIPS
+    SLP = feat2_flat_scale.shape[1]                     # span flat pad (128)
+    fl_vs = 2 * 2 * n * NVP * 104 * D                   # 2 streams, 2*N*M*K
+    fl_sw = 2 * n * NVL * D2                            # span sim einsum
+    fl_sw_pal = 2 * n * NVP * SLP * D2                  # padded kernel sweep
+    analytics = {
+        # name: (flops, bytes, peak)
+        "video_score_pallas": (fl_vs, 2 * NVP * 104 * D * 2 + n * NVP * 4,
+                               PEAK_BF16),
+        "video_score_pallas_int8": (fl_vs, 2 * NVP * 104 * D + n * NVP * 4,
+                                    PEAK_INT8),
+        "video_score_einsum": (fl_vs, 2 * NVL * D * 2 + 2 * n * NVL * 4,
+                               PEAK_BF16),
+        "video_score_i8_fused_topk": (fl_vs,
+                                      2 * NVP * 104 * D + 2 * n * NVP * 4,
+                                      PEAK_INT8),
+        "video_topk": (0, 3 * n * NVP * 4, PEAK_BF16),
+        "span_sim_gather_conv_softmax": (fl_sw,
+                                         NVL * D2 * 2 + n * NVL * 4,
+                                         PEAK_BF16),
+        "span_sim_i8flat": (fl_sw_pal, NVP * SLP * D2 + n * NVP * SLP * 2,
+                            PEAK_INT8),
+    }
+
     total_modeled = 0.0
+    print(f"{'stage':32s} {'ms':>8s}  {'roofline':>8s}  {'MFU%':>5s}  "
+          f"{'GB/s':>6s}")
     for name, fn in stages.items():
         ms = time_stage(fn)
-        # the fused program runs grouped_shift; the band-expansion stage is
-        # measured for comparison but excluded from the modeled sum
+        # the fused program runs the round-3 bench modes; superseded or
+        # comparison-only stages are excluded from the modeled sum
         if name not in ("video_score_einsum", "video_score_pallas_int8",
-                        "grouped_topk_spans"):
+                        "video_score_i8_fused_topk", "span_sim_i8flat",
+                        "grouped_topk_spans", "grouped_topk_spans_shift8"):
             total_modeled += ms
-        print(f"{name:32s} {ms:8.2f} ms", flush=True)
-    print(f"{'sum (pallas path, upper bound)':32s} {total_modeled:8.2f} ms")
+        if name in analytics:
+            fl, by, peak = analytics[name]
+            roof = max(fl / peak, by / HBM) * 1e3
+            mfu = fl / (peak * ms * 1e-3) * 100
+            gbs = by / (ms * 1e-3) / 1e9
+            print(f"{name:32s} {ms:8.2f}  {roof:8.2f}  {mfu:5.1f}  "
+                  f"{gbs:6.0f}", flush=True)
+        else:
+            print(f"{name:32s} {ms:8.2f}", flush=True)
+    print(f"{'sum (r3 bench path, upper bound)':32s} {total_modeled:8.2f} ms")
 
     fused = lambda: _score_query_batch(
         model, variables, rcfg, q_feat, q_mask,

@@ -600,3 +600,20 @@ def test_video_topk_fused_with_grouped_shift8_and_external_vr(setup):
     out_e = run(dataclasses.replace(pcfg, video_topk_fused=True), **kw)
     for k in ref_e:
         np.testing.assert_array_equal(out_e[k], ref_e[k], err_msg=k)
+
+
+def test_tiny_corpus_clamps_max_vcmr_video(setup):
+    """Corpora smaller than max_vcmr_video must clamp V to the corpus size
+    (the top-k already returns only Nv videos; the st_probs[:, :V] slice
+    has to agree — regression for the profiling-CLI shape mismatch)."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    big = dataclasses.replace(rcfg, max_vcmr_video=cache.n_videos + 40)
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos, "gather")
+    for mode in ("gather", "simsweep_cat"):
+        rc = dataclasses.replace(big, span_score_mode=mode)
+        out = _run(model, variables, rc, cache, qb, cache.n_videos, mode)
+        assert out["topv_idx"].shape[1] == cache.n_videos
+        # max_vcmr_video=9 selects the top 9 of the same full ranking:
+        # the clamped run's leading candidates cover the reference's videos
+        assert set(map(tuple, ref["topv_idx"])) <= set(
+            map(tuple, out["topv_idx"][:, :9]))

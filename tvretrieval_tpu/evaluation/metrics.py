@@ -170,12 +170,14 @@ def eval_by_task_type(
 
     if task_type in ("VCMR", "SVMR"):
         iou_correct = _iou_correct_matrix(spans, vid_match, gt_rows, iou_thds)
+        hits: dict = {}  # (ti, k) -> per-query hit vector, reused by-type
         for ti, thd in enumerate(iou_thds):
             for k in recall_topks:
                 if task_type == "VCMR":
                     hit = _recall_at_k(iou_correct[ti], k)
                 else:
                     hit = _svmr_rank_restricted(iou_correct[ti], vid_match, k)
+                hits[ti, k] = hit
                 metrics[f"{thd}-r{k}"] = _round_pct(hit.mean())
         if use_desc_type:
             for dt_idx, dt in enumerate(DESC_TYPES):
@@ -183,23 +185,20 @@ def eval_by_task_type(
                 n_in_type = max(int(sel.sum()), 1)
                 for ti, thd in enumerate(iou_thds):
                     for k in recall_topks:
-                        if task_type == "VCMR":
-                            hit = _recall_at_k(iou_correct[ti], k)
-                        else:
-                            hit = _svmr_rank_restricted(iou_correct[ti], vid_match, k)
                         metrics_by_type[f"{dt}-{thd}-r{k}"] = _round_pct(
-                            float((hit & sel).sum()) / n_in_type
+                            float((hits[ti, k] & sel).sum()) / n_in_type
                         )
     elif task_type == "VR":
+        vr_hits = {k: _recall_at_k(vid_match, k) for k in recall_topks}
         for k in recall_topks:
-            metrics[f"r{k}"] = _round_pct(_recall_at_k(vid_match, k).mean())
+            metrics[f"r{k}"] = _round_pct(vr_hits[k].mean())
         if use_desc_type:
             for dt_idx, dt in enumerate(DESC_TYPES):
                 sel = desc_types == dt_idx
                 n_in_type = max(int(sel.sum()), 1)
                 for k in recall_topks:
-                    hit = _recall_at_k(vid_match, k)
-                    metrics_by_type[f"{dt}-r{k}"] = _round_pct(float((hit & sel).sum()) / n_in_type)
+                    metrics_by_type[f"{dt}-r{k}"] = _round_pct(
+                        float((vr_hits[k] & sel).sum()) / n_in_type)
 
     if use_desc_type:
         n = max(len(desc_types), 1)

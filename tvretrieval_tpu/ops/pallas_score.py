@@ -249,7 +249,19 @@ def _score_kernel_flat_bmax(qvt_ref, qst_ref, fv_ref, fs_ref, out_ref,
             + jax.lax.broadcasted_iota(jnp.int32, (chunk_v, nq), 0))
     s = jnp.where(vidx < n_videos, s, -jnp.inf)
     out_ref[...] = s
-    bmax_ref[...] = s.max(axis=0)[None, :]
+    _write_bmax_row(bmax_ref, s.max(axis=0), nq)
+
+
+def _write_bmax_row(bmax_ref, smax, nq):
+    """Write one chunk's (nq,) maxima into the revisited (8, nq) bmax
+    block. Mosaic requires >= 8 sublanes per output block, so 8 grid
+    steps share one block (index map ``i // 8``; consecutive steps keep
+    it VMEM-resident) and each step replaces its ``i % 8`` row with a
+    lane select — a dynamic single-row store would need 8-aligned
+    sublane indices (CLAUDE.md Mosaic gotchas)."""
+    r = pl.program_id(0) % 8
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, nq), 0)
+    bmax_ref[...] = jnp.where(rows == r, smax[None, :], bmax_ref[...])
 
 
 def _score_kernel_flat_i8_bmax(qvt_ref, qst_ref, fv_ref, fs_ref, out_ref,
@@ -270,7 +282,7 @@ def _score_kernel_flat_i8_bmax(qvt_ref, qst_ref, fv_ref, fs_ref, out_ref,
             + jax.lax.broadcasted_iota(jnp.int32, (chunk_v, nq), 0))
     s = jnp.where(vidx < n_videos, s, -jnp.inf)
     out_ref[...] = s
-    bmax_ref[...] = s.max(axis=0)[None, :]
+    _write_bmax_row(bmax_ref, s.max(axis=0), nq)
 
 
 @functools.partial(jax.jit, static_argnames=("n_videos", "lp", "chunk_v",
@@ -313,16 +325,20 @@ def video_scores_pallas_flat_bmax(qvt, qst, fv_flat, fs_flat, n_videos: int,
         out_specs=[
             pl.BlockSpec((chunk_v, nq), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq), lambda i: (i, 0),
+            # 8 consecutive grid steps share one (8, nq) bmax block (see
+            # _write_bmax_row); rows past nb in the final partial block
+            # are never written and sliced off below
+            pl.BlockSpec((8, nq), lambda i: (i // 8, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nv_pad, nq), jnp.float32),
-            jax.ShapeDtypeStruct((nv_pad // chunk_v, nq), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (-(-(nv_pad // chunk_v) // 8) * 8, nq), jnp.float32),
         ],
         interpret=interpret,
     )(qvt, qst, fv_flat, fs_flat)
-    return out.T, bmax.T
+    return out.T, bmax.T[:, :nv_pad // chunk_v]
 
 
 def _score_kernel_flat_i8(qvt_ref, qst_ref, fv_ref, fs_ref, out_ref, *,

@@ -31,6 +31,8 @@ def main() -> None:
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--modes", type=str, nargs="+", default=None,
                    help="subset like gather/einsum simsweep/pallas")
+    p.add_argument("--interpret", action="store_true",
+                   help="run Pallas kernels in interpret mode (CPU smoke)")
     args = p.parse_args()
 
     import jax
@@ -44,7 +46,8 @@ def main() -> None:
                     sub_input_size=770, query_input_size=768, hidden_size=H,
                     n_heads=4, max_ctx_l=L, max_desc_l=30)
     model = XML(cfg)
-    base = RetrievalConfig(cache_dtype_str="bfloat16", query_bsz=args.nq)
+    base = RetrievalConfig(cache_dtype_str="bfloat16", query_bsz=args.nq,
+                           pallas_interpret=args.interpret)
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
@@ -73,12 +76,19 @@ def main() -> None:
     feat2_cat = (jnp.concatenate([vf2, sf2], axis=-1)
                  if any(c.startswith("simsweep_cat") for c in combos) else None)
     feat2_cat_i8 = feat2_cat_scale = None
-    if any(c.startswith("simsweep_cat_int8") for c in combos):
+    if any(c.split("/")[0] == "simsweep_cat_int8" for c in combos):
         from tvretrieval_tpu.ops.pallas_score import quantize_rows_i8
         feat2_cat_i8, feat2_cat_scale = quantize_rows_i8(feat2_cat)
-        if all(c.startswith("simsweep_cat_int8") for c in combos):
-            feat2_cat.delete()
-            feat2_cat = None
+    feat2_flat_i8 = feat2_flat_scale = None
+    if any(c.split("/")[0] == "simsweep_cat_int8_flat" for c in combos):
+        # video-major int8 flat layout for the fused Pallas span sweep
+        from tvretrieval_tpu.ops.pallas_score import build_flat_feat2_i8
+        feat2_flat_i8, feat2_flat_scale = build_flat_feat2_i8(feat2_cat)
+    if (feat2_cat is not None
+            and all(c.split("/")[0].startswith("simsweep_cat_int8")
+                    for c in combos)):
+        feat2_cat.delete()
+        feat2_cat = None
     if all(c.startswith("simsweep_cat") for c in combos):
         # every combo reads feat2 through the cat cache — free the two
         # stream copies (HBM headroom: all layouts at once OOM at nq=800)
@@ -109,15 +119,20 @@ def main() -> None:
         parts = combo.split("/")
         span_mode, vid_mode = parts[0], parts[1]
         topk_mode = parts[2] if len(parts) > 2 else "grouped"
-        # optional 4th part: "preexp" (video top-k on pre-exp scores)
-        pre_exp = len(parts) > 3 and parts[3] == "preexp"
+        # optional trailing flags: "preexp" (video top-k on pre-exp
+        # scores), "fused" (kernel-emitted block-max video top-k)
+        flags = set(parts[3:])
         rcfg = dataclasses.replace(base, span_score_mode=span_mode,
                                    video_score_mode=vid_mode,
                                    span_topk_mode=topk_mode,
-                                   video_topk_pre_exp=pre_exp)
+                                   video_topk_pre_exp="preexp" in flags,
+                                   video_topk_fused="fused" in flags)
         if span_mode == "simsweep_cat_int8":
             kw = {"feat2_cat": feat2_cat_i8,
                   "feat2_cat_scale": feat2_cat_scale}
+        elif span_mode == "simsweep_cat_int8_flat":
+            kw = {"feat2_cat": feat2_flat_i8,
+                  "feat2_cat_scale": feat2_flat_scale}
         elif span_mode.startswith("simsweep_cat"):
             kw = {"feat2_cat": feat2_cat}
         else:

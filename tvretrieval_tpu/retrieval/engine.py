@@ -424,7 +424,9 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
     fast = _uses_fast_path(model)
     up = lambda x: None if x is None else x.astype(f32)
 
-    V = cfg.max_vcmr_video
+    # clamp to the corpus size: with Nv < max_vcmr_video the top-k already
+    # returns only Nv videos and the st_probs[:, :V] slice must agree
+    V = min(cfg.max_vcmr_video, ctx_mask.shape[0])
 
     if fast:
         vq, sq = model.apply(variables, query_feat, query_mask,
@@ -692,7 +694,7 @@ def retrieve(model: XML, variables, builder: ExampleBuilder, cache: CorpusCache,
             [vid2meta.get(r.get("vid_name") or "", 0) for r in rows], dtype=np.int32)
         ext_args = {}
         if external is not None:
-            V = cfg.max_vcmr_video
+            V = min(cfg.max_vcmr_video, len(cache.metas))
             ext_idx = np.zeros((bsz, V), np.int32)
             ext_scores = np.full((bsz, V), -1e10, np.float32)
             for qi, r in enumerate(rows):
