@@ -184,3 +184,47 @@ def test_sharded_grouped_shift_bit_equal_to_flat_topk(setup):
     for k in outs["grouped"]:
         np.testing.assert_array_equal(outs["grouped"][k],
                                       outs["grouped_shift"][k], err_msg=k)
+
+
+@pytest.mark.parametrize("vmode", ["pallas", "pallas_int8"])
+def test_sharded_video_topk_fused_bit_equal_to_unfused(setup, vmode):
+    """video_topk_fused on the sharded engine (per-shard bmax kernel +
+    topk_from_block_max, with the trailing corpus-pad correction) must be
+    BIT-EQUAL to the unfused per-shard flat path with pre-exp selection:
+    same flat caches, same modes, only the fusion flag differs. The 19->24
+    video pad makes the last shard ALL pad videos (n_valid=0) and another
+    shard mixed — exercising every branch of the bmax correction."""
+    import dataclasses
+
+    from tvretrieval_tpu.parallel.sharded_retrieval import cat_mode_feat2_args
+
+    world, builder, model, variables, rcfg, cache, qb = setup
+    mesh = make_mesh(8)
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(6) % len(world.corpus), jnp.int32)
+
+    scfg = dataclasses.replace(rcfg, span_score_mode="simsweep_cat",
+                               video_score_mode=vmode,
+                               span_topk_mode="grouped_shift",
+                               video_topk_pre_exp=True,
+                               pallas_interpret=True)
+    ecfg = dataclasses.replace(scfg, video_score_mode="einsum")
+    scache = encode_corpus(model, variables, builder, world.corpus, ecfg)
+    scache = shard_corpus_cache(scache, mesh, cfg=scfg)
+    assert scache.video_feat1.ndim == 2
+    if vmode == "pallas_int8":
+        assert scache.video_feat1.dtype == jnp.int8
+    f2c, sf2_dummy = cat_mode_feat2_args(scache)
+
+    outs = {}
+    for fused in (False, True):
+        c = dataclasses.replace(scfg, video_topk_fused=fused)
+        out = score_query_batch_sharded(model, variables, c, qf, qm,
+                                        scache.video_feat1, f2c,
+                                        scache.sub_feat1, sf2_dummy,
+                                        scache.mask, gt, True, mesh)
+        outs[fused] = {k: np.asarray(v) for k, v in out.items()}
+    for k in outs[False]:
+        np.testing.assert_array_equal(outs[False][k], outs[True][k],
+                                      err_msg=k)

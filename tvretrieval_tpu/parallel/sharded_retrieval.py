@@ -204,29 +204,75 @@ def score_query_batch_sharded(model: XML, variables, cfg,
                 from tvretrieval_tpu.ops.masking import NEG_INF
                 from tvretrieval_tpu.ops.pallas_score import (
                     flat_lp, quantize_unit_i8, video_scores_pallas_flat,
+                    video_scores_pallas_flat_bmax,
                     video_scores_pallas_flat_i8)
                 normq = lambda q: q / (jnp.linalg.norm(
                     q, axis=-1, keepdims=True) + 1e-12)
+                interp = getattr(cfg, "pallas_interpret", False)
                 if vf1.dtype == jnp.int8:
-                    # int8-quantized per-shard flat caches (pallas_int8)
-                    q2c = video_scores_pallas_flat_i8(
-                        quantize_unit_i8(normq(vq)).T,
-                        quantize_unit_i8(normq(sq)).T, vf1, sf1,
-                        n_videos=nv_local, lp=flat_lp(cmask.shape[1]),
-                        interpret=getattr(cfg, "pallas_interpret", False))
+                    qvt = quantize_unit_i8(normq(vq)).T
+                    qst = quantize_unit_i8(normq(sq)).T
                 else:
-                    normcast = lambda q, feat: normq(q).astype(feat.dtype)
+                    qvt = normq(vq).astype(vf1.dtype).T
+                    qst = normq(sq).astype(sf1.dtype).T
+                if getattr(cfg, "video_topk_fused", False):
+                    # per-shard fused video-score -> block-max kernel. The
+                    # kernel masks only flat-pad rows (>= nv_local) to
+                    # -inf; corpus-pad videos (fully-masked rows — by
+                    # shard_corpus_cache construction a TRAILING run, so
+                    # validity is a prefix) are corrected to the einsum
+                    # path's finite NEG_INF OUTSIDE the kernel, and the
+                    # one block straddling the valid count is re-maxed
+                    # with a single dynamic slice — every other block's
+                    # kernel bmax is exact. Selection below then matches
+                    # topk_stable_blocked over the corrected scores
+                    # bit-for-bit (tests/test_sharded_retrieval.py).
+                    scores_pad, bmax = video_scores_pallas_flat_bmax(
+                        qvt, qst, vf1, sf1, n_videos=nv_local,
+                        lp=flat_lp(cmask.shape[1]), interpret=interp)
+                    nvp = scores_pad.shape[1]
+                    chunk = nvp // bmax.shape[1]
+                    n_valid = (cmask.max(axis=1) > 0).sum().astype(jnp.int32)
+                    vidx = jnp.arange(nvp, dtype=jnp.int32)
+                    scores_pad = jnp.where(
+                        (vidx[None] >= n_valid) & (vidx[None] < nv_local),
+                        NEG_INF, scores_pad)
+                    nb = bmax.shape[1]
+                    bend = (jnp.arange(nb, dtype=jnp.int32) + 1) * chunk
+                    bstart = bend - chunk
+                    bmax = jnp.where(
+                        bend[None] <= n_valid, bmax,
+                        jnp.where(bstart[None] < nv_local, NEG_INF,
+                                  -jnp.inf))
+                    b = jnp.minimum(n_valid // chunk, nb - 1)
+                    straddle = jax.lax.dynamic_slice(
+                        scores_pad, (0, b * chunk),
+                        (scores_pad.shape[0], chunk)).max(axis=1)
+                    bmax = jax.lax.dynamic_update_slice(
+                        bmax, straddle[:, None], (0, b))
+                    fused_blocks = (scores_pad, bmax, chunk)
+                    q2c = scores_pad[:, :nv_local]
+                elif vf1.dtype == jnp.int8:
+                    # int8-quantized per-shard flat caches (pallas_int8)
+                    fused_blocks = None
+                    q2c = video_scores_pallas_flat_i8(
+                        qvt, qst, vf1, sf1, n_videos=nv_local,
+                        lp=flat_lp(cmask.shape[1]), interpret=interp)
+                else:
+                    fused_blocks = None
                     q2c = video_scores_pallas_flat(
-                        normcast(vq, vf1).T, normcast(sq, sf1).T, vf1, sf1,
-                        n_videos=nv_local, lp=flat_lp(cmask.shape[1]),
-                        interpret=getattr(cfg, "pallas_interpret", False))
-                has_clip = cmask.max(axis=1) > 0                  # (nv_local,)
-                q2c = jnp.where(has_clip[None, :], q2c, NEG_INF)
+                        qvt, qst, vf1, sf1, n_videos=nv_local,
+                        lp=flat_lp(cmask.shape[1]), interpret=interp)
+                if fused_blocks is None:
+                    has_clip = cmask.max(axis=1) > 0              # (nv_local,)
+                    q2c = jnp.where(has_clip[None, :], q2c, NEG_INF)
             else:
+                fused_blocks = None
                 q2c = (scores_prenormalized(vq, vf1)
                        + scores_prenormalized(sq, sf1)) / 2
             q2c_exp = jnp.exp(cfg.q2c_alpha * q2c.astype(f32))
         else:
+            fused_blocks = None
             q2c, st_logits_all, ed_logits_all = model.apply(
                 vars_, qf, qm, up(vf1), up(vf2), cmask, up(sf1), up(sf2), cmask,
                 True, method=XML.get_pred_from_raw_query)
@@ -239,10 +285,20 @@ def score_query_batch_sharded(model: XML, variables, cfg,
         # and ~2x faster over wide video axes. With video_topk_pre_exp the
         # selection/sort run on the raw cosine scores (strictly monotone
         # under exp -> same order) and exp is applied to the V survivors.
-        pre_exp = getattr(cfg, "video_topk_pre_exp", False)
-        sel_scores = q2c.astype(f32) if pre_exp else q2c_exp
+        # The fused kernel path selects from its emitted block maxima
+        # (pre-exp semantics implied), skipping the separate block-max pass.
+        pre_exp = (getattr(cfg, "video_topk_pre_exp", False)
+                   or fused_blocks is not None)
         v_local = min(V, nv_local)
-        top_local_sel, top_local_idx = topk_stable_blocked(sel_scores, v_local)
+        if fused_blocks is not None:
+            from tvretrieval_tpu.ops.span import topk_from_block_max
+            scores_pad, bmax, chunk = fused_blocks
+            top_local_sel, top_local_idx = topk_from_block_max(
+                scores_pad, bmax, v_local, block=chunk)
+        else:
+            sel_scores = q2c.astype(f32) if pre_exp else q2c_exp
+            top_local_sel, top_local_idx = topk_stable_blocked(
+                sel_scores, v_local)
         top_local = (jnp.exp(cfg.q2c_alpha * top_local_sel) if pre_exp
                      else top_local_sel)                         # (Nq, v_local)
         gidx_local = top_local_idx + base
