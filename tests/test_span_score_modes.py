@@ -617,3 +617,28 @@ def test_tiny_corpus_clamps_max_vcmr_video(setup):
         # the clamped run's leading candidates cover the reference's videos
         assert set(map(tuple, ref["topv_idx"])) <= set(
             map(tuple, out["topv_idx"][:, :9]))
+
+
+def test_grouped_shift_approx_engine_candidates(setup):
+    """span_topk_mode='grouped_shift_approx' + video_topk_approx: on CPU
+    lax.approx_max_k falls back to an exact sort, so the candidate SETS
+    must match the exact path (order can differ only at fp ties). Pins the
+    plumbing; the on-chip approximation is A/B-contracted separately."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos, "gather")
+    acfg = dataclasses.replace(rcfg, span_topk_mode="grouped_shift_approx",
+                               video_topk_approx=True)
+    out = _run(model, variables, acfg, cache, qb, cache.n_videos, "gather")
+    # same selected videos (set per query; approx ordering may differ)
+    for q in range(ref["topv_idx"].shape[0]):
+        assert set(out["topv_idx"][q]) == set(ref["topv_idx"][q])
+    # same span candidate sets
+    for q in range(ref["vcmr_st"].shape[0]):
+        r = set(zip(ref["vcmr_vid_local"][q], ref["vcmr_st"][q],
+                    ref["vcmr_ed"][q]))
+        o = set(zip(out["vcmr_vid_local"][q], out["vcmr_st"][q],
+                    out["vcmr_ed"][q]))
+        assert len(r - o) <= 1 and len(o - r) <= 1  # fp-tie slack
+    np.testing.assert_allclose(np.sort(out["vcmr_scores"], axis=1),
+                               np.sort(ref["vcmr_scores"], axis=1),
+                               rtol=1e-6, atol=1e-9)

@@ -437,6 +437,80 @@ def banded_topk_spans_grouped_shift(st_probs: jnp.ndarray, ed_probs: jnp.ndarray
             n.astype(jnp.int32), scores)
 
 
+@partial(jax.jit, static_argnames=("min_l", "max_l", "top_n", "recall"))
+def banded_topk_spans_grouped_shift_approx(
+        st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
+        video_scores: jnp.ndarray, min_l: int, max_l: int, top_n: int,
+        keep_mask: jnp.ndarray | None = None, recall: float = 0.99):
+    """banded_topk_spans_grouped_shift with the two exact selections
+    (group select over V*L, final span select over G*W) replaced by TPU's
+    hardware-accelerated approximate top-k (lax.approx_max_k /
+    PartialReduce, arXiv:2206.14286) at the given per-op recall target.
+
+    NOT a parity mode: per-query span candidate lists can miss ~(1-recall)
+    of the exact top-N (and tie/near-tie order may differ); the accuracy
+    contract is a trained-checkpoint metric A/B like pallas_int8 /
+    simsweep_cat_int8_flat (BENCH_NOTES round 4). On CPU approx_max_k
+    falls back to an exact sort (recall 1.0), so CPU tests pin the
+    plumbing, not the approximation.
+
+    Reference op being replaced: inference.py:378-386 (host flat sort of
+    the top-100-video span scores).
+    """
+    nq, v, L = st_probs.shape
+    W = max_l - min_l
+
+    rw = jax.lax.reduce_window(
+        ed_probs, 0.0, jax.lax.max, (1, 1, W), (1, 1, 1),
+        padding=((0, 0), (0, 0), (0, W - 1)))
+    wmax = jnp.pad(rw, ((0, 0), (0, 0), (0, min_l)))[..., min_l:]
+    gmax = (st_probs * wmax) * video_scores[:, :, None]          # (Nq, V, L)
+    if keep_mask is not None:
+        gmax = (gmax * keep_mask[:, :, None]
+                - (1.0 - keep_mask)[:, :, None])
+
+    k_groups = min(top_n, v * L)
+    _, gidx = jax.lax.approx_max_k(gmax.reshape(nq, v * L), k_groups,
+                                   recall_target=recall)         # (Nq, G)
+    gidx = jax.lax.sort(gidx, dimension=1)
+    g_vid = gidx // L
+    g_st = gidx % L
+
+    take2 = lambda x, i: jnp.take_along_axis(x.reshape(nq, v * L), i, axis=1)
+    st_g = take2(st_probs, gidx)                                 # (Nq, G)
+    vs_g = jnp.take_along_axis(video_scores, g_vid, axis=1)
+
+    ed_rows = jnp.take_along_axis(ed_probs, g_vid[:, :, None], axis=1)
+    onehot = (jnp.arange(L, dtype=jnp.int32)[None, None]
+              == g_st[:, :, None]).astype(ed_rows.dtype)         # (Nq, G, L)
+    ed_padded = jnp.pad(ed_rows, ((0, 0), (0, 0), (0, max_l)))
+    ed_g = jnp.stack(
+        [(onehot * jax.lax.dynamic_slice_in_dim(ed_padded, min_l + w, L,
+                                                axis=2)).sum(axis=2)
+         for w in range(W)], axis=-1)                            # (Nq, G, W)
+    valid_g = ((g_st[:, :, None] + min_l + jnp.arange(W)[None, None]) < L
+               ).astype(st_probs.dtype)
+    vals = ((st_g[:, :, None] * ed_g) * vs_g[:, :, None]) * valid_g
+    if keep_mask is not None:
+        keep_g = jnp.take_along_axis(keep_mask, g_vid, axis=1)   # (Nq, G)
+        vals = vals * keep_g[:, :, None] - (1.0 - keep_g)[:, :, None]
+    canon = gidx[:, :, None] * W + jnp.arange(W)[None, None]
+
+    pool = vals.reshape(nq, -1)
+    k = min(top_n, pool.shape[1])
+    scores, pos = jax.lax.approx_max_k(pool, k, recall_target=recall)
+    flat = jnp.take_along_axis(canon.reshape(nq, -1), pos, axis=1)
+    if k < top_n:
+        scores = jnp.pad(scores, ((0, 0), (0, top_n - k)))
+        flat = jnp.pad(flat, ((0, 0), (0, top_n - k)))
+    vid = flat // (L * W)
+    rem = flat % (L * W)
+    m = rem // W
+    n = m + min_l + rem % W
+    return (vid.astype(jnp.int32), m.astype(jnp.int32),
+            n.astype(jnp.int32), scores)
+
+
 @partial(jax.jit, static_argnames=("min_l", "max_l", "top_n"))
 def banded_topk_spans_grouped_shift8(st_probs: jnp.ndarray,
                                      ed_probs: jnp.ndarray,

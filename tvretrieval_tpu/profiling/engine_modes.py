@@ -120,13 +120,15 @@ def main() -> None:
         span_mode, vid_mode = parts[0], parts[1]
         topk_mode = parts[2] if len(parts) > 2 else "grouped"
         # optional trailing flags: "preexp" (video top-k on pre-exp
-        # scores), "fused" (kernel-emitted block-max video top-k)
+        # scores), "fused" (kernel-emitted block-max video top-k),
+        # "vapprox" (approx_max_k video top-V)
         flags = set(parts[3:])
         rcfg = dataclasses.replace(base, span_score_mode=span_mode,
                                    video_score_mode=vid_mode,
                                    span_topk_mode=topk_mode,
                                    video_topk_pre_exp="preexp" in flags,
-                                   video_topk_fused="fused" in flags)
+                                   video_topk_fused="fused" in flags,
+                                   video_topk_approx="vapprox" in flags)
         if span_mode == "simsweep_cat_int8":
             kw = {"feat2_cat": feat2_cat_i8,
                   "feat2_cat_scale": feat2_cat_scale}

@@ -122,7 +122,18 @@ class RetrievalConfig:
     #                     expansion traffic at corpus scale)
     #   "grouped_shift8": aligned-8-block gather + 8-lane one-hot reduction
     #                     (~L/8 less gather + shift work than grouped_shift)
+    #   "grouped_shift_approx": grouped_shift with the two exact selections
+    #                     replaced by TPU's hardware approximate top-k
+    #                     (lax.approx_max_k at topk_approx_recall). NOT a
+    #                     parity mode: accuracy contract = trained-
+    #                     checkpoint metric A/B (BENCH_NOTES round 4)
     span_topk_mode: str = "grouped"
+    # video top-V by lax.approx_max_k on the PRE-exp scores (fast path
+    # only; takes precedence over video_topk_fused/video_topk_pre_exp).
+    # NOT a parity mode — same A/B contract as grouped_shift_approx.
+    video_topk_approx: bool = False
+    # recall target for every approx_max_k selection site
+    topk_approx_recall: float = 0.99
     # run the Pallas video-score kernel in interpret mode (CPU tests only;
     # Mosaic does not lower on the CPU backend)
     pallas_interpret: bool = False
@@ -496,6 +507,13 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
             # (reference inference.py:346-355)
             topv_idx = external_idx
             topv_scores = jnp.exp(cfg.q2c_alpha * external_scores)
+        elif getattr(cfg, "video_topk_approx", False):
+            # hardware approximate top-k on the pre-exp scores (exp only
+            # the V survivors) — A/B-contracted, see RetrievalConfig
+            topv_q2c, topv_idx = jax.lax.approx_max_k(
+                q2c.astype(f32), V,
+                recall_target=getattr(cfg, "topk_approx_recall", 0.99))
+            topv_scores = jnp.exp(cfg.q2c_alpha * topv_q2c)
         elif fused_bmax is not None:
             # kernel-emitted block maxima: selection skips the separate
             # block-max pass AND the full-matrix exp (pre-exp semantics —
@@ -585,6 +603,14 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
     elif topk_mode == "grouped_shift8":
         from tvretrieval_tpu.ops.span import banded_topk_spans_grouped_shift8
         span_topk = banded_topk_spans_grouped_shift8
+    elif topk_mode == "grouped_shift_approx":
+        import functools as _ft
+
+        from tvretrieval_tpu.ops.span import (
+            banded_topk_spans_grouped_shift_approx)
+        span_topk = _ft.partial(
+            banded_topk_spans_grouped_shift_approx,
+            recall=getattr(cfg, "topk_approx_recall", 0.99))
     else:
         span_topk = banded_topk_spans_grouped
     vcmr_vid_local, vcmr_st, vcmr_ed, vcmr_scores = span_topk(

@@ -151,7 +151,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["einsum", "pallas", "pallas_int8"],
                    help="retrieval-eval video-level scoring path")
     p.add_argument("--span_topk_mode", type=str, default="grouped",
-                   choices=["grouped", "grouped_shift", "grouped_shift8"],
+                   choices=["grouped", "grouped_shift", "grouped_shift8",
+                            "grouped_shift_approx"],
                    help="VCMR span top-k expansion (both bit-exact; "
                         "grouped_shift avoids the (Nq, V, L, W) band "
                         "tensor — faster and ~4.5 GB less HBM at scale)")
@@ -159,6 +160,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="1: the flat video-score kernel emits block maxima "
                         "and video top-k runs fused (pre-exp semantics; "
                         "video_score_mode pallas/pallas_int8 only)")
+    p.add_argument("--video_topk_approx", type=int, default=0,
+                   help="1: video top-V by lax.approx_max_k on pre-exp "
+                        "scores (A/B-contracted, not a parity mode)")
+    p.add_argument("--topk_approx_recall", type=float, default=0.99,
+                   help="recall target for every approx_max_k site")
     p.add_argument("--eval_cache_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="corpus-cache dtype for retrieval eval; bfloat16 "
@@ -264,7 +270,10 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
         span_score_mode=getattr(args, "span_score_mode", "gather"),
         video_score_mode=getattr(args, "video_score_mode", "einsum"),
         span_topk_mode=getattr(args, "span_topk_mode", "grouped"),
-        video_topk_fused=bool(getattr(args, "video_topk_fused", 0) or 0))
+        video_topk_fused=bool(getattr(args, "video_topk_fused", 0) or 0),
+        video_topk_approx=bool(getattr(args, "video_topk_approx", 0) or 0),
+        topk_approx_recall=float(
+            getattr(args, "topk_approx_recall", 0.99) or 0.99))
     from tvretrieval_tpu.retrieval.engine import auto_interpret
     rcfg = auto_interpret(rcfg)
     # test_public rows carry no GT (no ts/vid_name): generate the submission
@@ -369,7 +378,10 @@ def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
         span_score_mode=getattr(args, "span_score_mode", "gather"),
         video_score_mode=getattr(args, "video_score_mode", "einsum"),
         span_topk_mode=getattr(args, "span_topk_mode", "grouped"),
-        video_topk_fused=bool(getattr(args, "video_topk_fused", 0) or 0))
+        video_topk_fused=bool(getattr(args, "video_topk_fused", 0) or 0),
+        video_topk_approx=bool(getattr(args, "video_topk_approx", 0) or 0),
+        topk_approx_recall=float(
+            getattr(args, "topk_approx_recall", 0.99) or 0.99))
     from tvretrieval_tpu.retrieval.engine import auto_interpret
     rcfg = auto_interpret(rcfg)
     if device_data is not None:
