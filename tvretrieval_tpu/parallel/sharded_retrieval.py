@@ -394,6 +394,14 @@ def score_query_batch_sharded(model: XML, variables, cfg,
             vid_loc, st_i, ed_i, scores = banded_topk_spans_grouped_shift8(
                 st_top, ed_top, top_local, cfg.min_pred_l, cfg.max_pred_l,
                 n_local, keep_mask=keep)
+        elif topk_mode == "grouped_shift_approx":
+            # A/B-contracted approximate selection (engine.RetrievalConfig)
+            from tvretrieval_tpu.ops.span import (
+                banded_topk_spans_grouped_shift_approx)
+            vid_loc, st_i, ed_i, scores = banded_topk_spans_grouped_shift_approx(
+                st_top, ed_top, top_local, cfg.min_pred_l, cfg.max_pred_l,
+                n_local, keep_mask=keep,
+                recall=getattr(cfg, "topk_approx_recall", 0.99))
         else:
             vid_loc, st_i, ed_i, scores = banded_topk_spans(
                 st_top, ed_top, top_local, cfg.min_pred_l, cfg.max_pred_l,

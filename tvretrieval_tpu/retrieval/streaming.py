@@ -229,6 +229,13 @@ def _span_stage(model: XML, variables, cfg, vq, sq, vf2_g, sf2_g, mask_g,
     if topk_mode == "grouped_shift8":
         from tvretrieval_tpu.ops.span import banded_topk_spans_grouped_shift8
         span_topk = banded_topk_spans_grouped_shift8
+    elif topk_mode == "grouped_shift_approx":
+        # A/B-contracted approximate selection (engine.RetrievalConfig)
+        from tvretrieval_tpu.ops.span import (
+            banded_topk_spans_grouped_shift_approx)
+        span_topk = functools.partial(
+            banded_topk_spans_grouped_shift_approx,
+            recall=getattr(cfg, "topk_approx_recall", 0.99))
     else:
         span_topk = (banded_topk_spans_grouped_shift
                      if topk_mode == "grouped_shift"
