@@ -121,14 +121,18 @@ def main() -> None:
         topk_mode = parts[2] if len(parts) > 2 else "grouped"
         # optional trailing flags: "preexp" (video top-k on pre-exp
         # scores), "fused" (kernel-emitted block-max video top-k),
-        # "vapprox" (approx_max_k video top-V)
+        # "vapprox" (approx_max_k video top-V), "rt<r>" (recall target for
+        # every approx_max_k site, e.g. rt0.95 — default 0.99)
         flags = set(parts[3:])
+        recall = next((float(f[2:]) for f in flags if f.startswith("rt")),
+                      base.topk_approx_recall)
         rcfg = dataclasses.replace(base, span_score_mode=span_mode,
                                    video_score_mode=vid_mode,
                                    span_topk_mode=topk_mode,
                                    video_topk_pre_exp="preexp" in flags,
                                    video_topk_fused="fused" in flags,
-                                   video_topk_approx="vapprox" in flags)
+                                   video_topk_approx="vapprox" in flags,
+                                   topk_approx_recall=recall)
         if span_mode == "simsweep_cat_int8":
             kw = {"feat2_cat": feat2_cat_i8,
                   "feat2_cat_scale": feat2_cat_scale}
