@@ -75,10 +75,19 @@ def main() -> None:
     #   recall points (BENCH_NOTES round 3, JSONs in results_scale/)
     # - grouped_shift span top-k: shift-reduction expansion (bit-exact,
     #   no (Nq, V, L, W) band tensor)
-    rcfg = RetrievalConfig(cache_dtype_str="bfloat16",
-                           span_score_mode="simsweep_cat",
-                           video_score_mode="pallas_int8",
-                           span_topk_mode="grouped_shift")
+    # mode overrides for A/B capture runs (the defaults below stay the
+    # shipped configuration; a default flip requires a trained-checkpoint
+    # metric A/B first — see BENCH_NOTES round-4 approx-selection story)
+    rcfg = RetrievalConfig(
+        cache_dtype_str="bfloat16",
+        span_score_mode="simsweep_cat",
+        video_score_mode="pallas_int8",
+        span_topk_mode=os.environ.get("BENCH_SPAN_TOPK_MODE",
+                                      "grouped_shift"),
+        video_topk_approx=bool(int(os.environ.get(
+            "BENCH_VIDEO_TOPK_APPROX", "0"))),
+        topk_approx_recall=float(os.environ.get(
+            "BENCH_TOPK_RECALL", "0.99")))
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)

@@ -38,9 +38,14 @@ def _sync(x):
 def time_stage(fn, n_warmup=2, n_runs=10):
     for _ in range(n_warmup):
         _sync(fn())
+    # keep ONLY the latest output alive: dispatches still queue back-to-back
+    # (async), but holding all n_runs result sets pushed the resident-cache
+    # + temps total over HBM at qbsz=1000 (the round-4c RESOURCE_EXHAUSTED)
     t0 = time.perf_counter()
-    outs = [fn() for _ in range(n_runs)]
-    _sync(outs[-1])
+    out = None
+    for _ in range(n_runs):
+        out = fn()
+    _sync(out)
     return (time.perf_counter() - t0) / n_runs * 1e3
 
 
@@ -113,7 +118,9 @@ def main():
     # 800); with the round-4 int8-flat span cache also resident the full
     # layout set risks OOM, so the stage is opt-in: PROFILE_EINSUM=1.
     profile_einsum = bool(os.environ.get("PROFILE_EINSUM"))
-    if not profile_einsum:
+    # the CPU smoke's fused program runs video_score_mode="einsum" and needs
+    # the 3-D caches regardless
+    if not profile_einsum and rcfg.video_score_mode != "einsum":
         vf1.delete()
         sf1.delete()
         vf1 = sf1 = None
@@ -179,9 +186,16 @@ def main():
                                     gather_idx)
 
     # round-4 fused int8 flat span sweep (sweep + gather + conv in one
-    # Pallas-backed model method; the s32 dot never reaches HBM)
-    from tvretrieval_tpu.ops.pallas_score import build_flat_feat2_i8
-    feat2_flat_i8, feat2_flat_scale = build_flat_feat2_i8(feat2_cat)
+    # Pallas-backed model method; the s32 dot never reaches HBM). Opt-in:
+    # a measured corpus-scale NEGATIVE result (BENCH_NOTES round 4), and
+    # its 1.4 GB cache + (Nq, Nv_pad, 128) bf16 similarity temp OOM'd the
+    # qbsz=1000 ledger run next to the full resident layout set.
+    profile_i8flat = bool(os.environ.get("PROFILE_I8FLAT"))
+    if profile_i8flat:
+        from tvretrieval_tpu.ops.pallas_score import build_flat_feat2_i8
+        feat2_flat_i8, feat2_flat_scale = build_flat_feat2_i8(feat2_cat)
+    else:
+        feat2_flat_i8 = feat2_flat_scale = None
 
     @jax.jit
     def s_span_sim_i8flat(vars_, vq, sq, f8, fsc, mask, gather_idx):
@@ -210,6 +224,22 @@ def main():
             st_probs[:, :V], ed_probs[:, :V], topv_scores,
             rcfg.min_pred_l, rcfg.max_pred_l, rcfg.max_before_nms)
 
+    # round-4 approximate-selection candidates (NOT parity modes; A/B
+    # contract in BENCH_NOTES round 4)
+    from tvretrieval_tpu.ops.span import banded_topk_spans_grouped_shift_approx
+
+    @jax.jit
+    def s_topv_approx95(q2c):
+        s, i = jax.lax.approx_max_k(q2c, V, recall_target=0.95)
+        return jnp.exp(rcfg.q2c_alpha * s), i
+
+    @jax.jit
+    def s_topk_spans_approx95(st_probs, ed_probs, topv_scores):
+        return banded_topk_spans_grouped_shift_approx(
+            st_probs[:, :V], ed_probs[:, :V], topv_scores,
+            rcfg.min_pred_l, rcfg.max_pred_l, rcfg.max_before_nms,
+            recall=0.95)
+
     stages = {
         "encode_query": lambda: s_encode_q(variables, q_feat, q_mask),
         "video_score_pallas": lambda: s_vscore_pallas(vq, sq, vf1_flat,
@@ -217,20 +247,24 @@ def main():
         "video_score_pallas_int8": lambda: s_vscore_i8(vq, sq, vf1_i8,
                                                        sf1_i8),
         "video_topk": lambda: s_topv(q2c),
+        "video_topk_approx95": lambda: s_topv_approx95(q2c),
         "video_score_i8_fused_topk": lambda: s_vscore_i8_fused_topk(
             vq, sq, vf1_i8, sf1_i8),
         "span_sim_gather_conv_softmax": lambda: s_span_sim(
             variables, vq, sq, feat2_cat, mask, gather_idx),
-        "span_sim_i8flat": lambda: s_span_sim_i8flat(
-            variables, vq, sq, feat2_flat_i8, feat2_flat_scale, mask,
-            gather_idx),
         "grouped_topk_spans": lambda: s_topk_spans(st_probs, ed_probs,
                                                    topv_scores),
         "grouped_topk_spans_shift": lambda: s_topk_spans_shift(
             st_probs, ed_probs, topv_scores),
         "grouped_topk_spans_shift8": lambda: s_topk_spans_shift8(
             st_probs, ed_probs, topv_scores),
+        "grouped_topk_spans_approx95": lambda: s_topk_spans_approx95(
+            st_probs, ed_probs, topv_scores),
     }
+    if profile_i8flat:
+        stages["span_sim_i8flat"] = lambda: s_span_sim_i8flat(
+            variables, vq, sq, feat2_flat_i8, feat2_flat_scale, mask,
+            gather_idx)
 
     # --- analytic roofline ledger (VERDICT r3 #8): per-stage FLOPs/bytes
     # at this shape, against the v5e chip peaks. roofline ms = max(compute,
@@ -239,7 +273,8 @@ def main():
     n, D, D2 = qbsz, HIDDEN, 2 * HIDDEN
     NVP = vf1_flat.shape[0] // 104                      # flat-padded videos
     NVL = N_VIDEOS * N_CLIPS
-    SLP = feat2_flat_scale.shape[1]                     # span flat pad (128)
+    SLP = (feat2_flat_scale.shape[1] if profile_i8flat
+           else 128)                                    # span flat pad (128)
     fl_vs = 2 * 2 * n * NVP * 104 * D                   # 2 streams, 2*N*M*K
     fl_sw = 2 * n * NVL * D2                            # span sim einsum
     fl_sw_pal = 2 * n * NVP * SLP * D2                  # padded kernel sweep
@@ -267,11 +302,13 @@ def main():
           f"{'GB/s':>6s}")
     for name, fn in stages.items():
         ms = time_stage(fn)
-        # the fused program runs the round-3 bench modes; superseded or
-        # comparison-only stages are excluded from the modeled sum
-        if name not in ("video_score_einsum", "video_score_pallas_int8",
+        # the fused program runs the round-3 bench modes (pallas_int8 video
+        # scores); superseded or comparison-only stages are excluded from
+        # the modeled sum
+        if name not in ("video_score_einsum", "video_score_pallas",
                         "video_score_i8_fused_topk", "span_sim_i8flat",
-                        "grouped_topk_spans", "grouped_topk_spans_shift8"):
+                        "grouped_topk_spans", "grouped_topk_spans_shift8",
+                        "video_topk_approx95", "grouped_topk_spans_approx95"):
             total_modeled += ms
         if name in analytics:
             fl, by, peak = analytics[name]
