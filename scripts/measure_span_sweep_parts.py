@@ -176,8 +176,38 @@ def main():
     t7 = time_stage(lambda: full_stage(variables, vq, sq, feat2_cat, mask,
                                        gather_idx))
     print(f"{'7 full stage':28s} {t7:8.2f} ms", flush=True)
+
+    # --- (8) LANE-ALIGNED sweep: cache L padded to 128, sim stored bf16 ------
+    # Hypothesis: the (Nq, Nv, L=100) f32 similarity cannot materialize
+    # cheaply because the minor dim pads 100 -> 128 in layout (11.2 GiB at
+    # nq=1000 — the round-3 AOT number), forcing XLA into a slow
+    # non-materializing gather strategy. Padding the CACHE's clip axis to
+    # 128 up front (+28% sweep FLOPs, +0.6 GB cache) makes the bf16
+    # similarity layout-exact (5.6 GiB), so the store runs at HBM speed and
+    # the top-V row gather is the fast second-minor-dim case.
+    feat2_pad = jnp.pad(feat2_cat, ((0, 0), (0, 128 - N_CLIPS), (0, 0)))
+
+    @jax.jit
+    def dot_gather_pad128(q, f3, gi):
+        sim = jnp.einsum("qd,nld->qnl", q.astype(f3.dtype), f3,
+                         preferred_element_type=jnp.float32)
+        sim = jax.lax.optimization_barrier(sim.astype(jnp.bfloat16))
+        g = jnp.take_along_axis(sim, gi[:, :, None], axis=1)
+        return g[:, :, :N_CLIPS].astype(jnp.float32)
+
+    t8 = time_stage(lambda: dot_gather_pad128(qcat, feat2_pad, gather_idx))
+    print(f"{'8 pad128 dot+bf16+gather':28s} {t8:8.2f} ms", flush=True)
+    try:
+        comp = dot_gather_pad128.lower(qcat, feat2_pad, gather_idx).compile()
+        ma = comp.memory_analysis()
+        print(f"   AOT temps {ma.temp_size_in_bytes / 2**30:.2f} GiB",
+              flush=True)
+    except Exception as e:  # noqa: BLE001 — diagnostic only
+        print(f"   AOT memory_analysis unavailable: {e}", flush=True)
+
     print(f"parts: dot~{t1 - t2:.2f} gather~{t3:.2f} conv~{t6:.2f} | "
-          f"dot+gather {t4:.2f} vs full {t7:.2f}")
+          f"dot+gather {t4:.2f} bf16 {t5:.2f} pad128 {t8:.2f} "
+          f"vs full {t7:.2f}")
 
 
 if __name__ == "__main__":
