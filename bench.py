@@ -80,14 +80,16 @@ def main() -> None:
     # metric A/B first — see BENCH_NOTES round-4 approx-selection story)
     rcfg = RetrievalConfig(
         cache_dtype_str="bfloat16",
-        span_score_mode="simsweep_cat",
+        span_score_mode=os.environ.get("BENCH_SPAN_SCORE_MODE",
+                                       "simsweep_cat"),
         video_score_mode="pallas_int8",
         span_topk_mode=os.environ.get("BENCH_SPAN_TOPK_MODE",
                                       "grouped_shift"),
         video_topk_approx=bool(int(os.environ.get(
             "BENCH_VIDEO_TOPK_APPROX", "0"))),
         topk_approx_recall=float(os.environ.get(
-            "BENCH_TOPK_RECALL", "0.99")))
+            "BENCH_TOPK_RECALL", "0.99")),
+        span_sim_pad_l=int(os.environ.get("BENCH_SPAN_SIM_PAD_L", "0")))
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
@@ -116,6 +118,11 @@ def main() -> None:
     feat2_cat = jnp.concatenate(
         [jax.random.normal(ks[4], shape, dtype=dt),
          jax.random.normal(ks[6], shape, dtype=dt)], axis=-1)
+    if rcfg.span_sim_pad_l:
+        # lane-tile-exact clip axis (see RetrievalConfig.span_sim_pad_l)
+        feat2_cat = jnp.pad(
+            feat2_cat,
+            ((0, 0), (0, rcfg.span_sim_pad_l - N_CLIPS), (0, 0)))
     mask = jnp.ones((N_VIDEOS, N_CLIPS), jnp.float32)
     # feat1 streams in the video-major flat mask-free layout consumed by
     # the pallas video-score kernel (what encode_corpus builds), quantized

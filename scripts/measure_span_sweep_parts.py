@@ -94,29 +94,40 @@ def main():
 
     t1 = time_stage(lambda: dot_sum(qcat, flat2))
     print(f"{'1 dot+sum':28s} {t1:8.2f} ms", flush=True)
+    flat2.delete()  # 2.23 GB duplicate of feat2_cat; only part 1 reads it
+    del flat2
 
-    # --- materialize SIM f32 (fits: 8.7 GB at nq=1000 + 2.23 GB cache) ------
+    # --- materialize SIM DIRECTLY IN 3D, in bf16 (4.06 GiB; 5.2 GiB in
+    # the 100->128-padded layout). f32 OOM'd twice: flat-then-reshape held
+    # two copies (4g queue), and even built 3D the part-3 gather forces a
+    # full T(8,128) layout copy (copy.9.remat, 10.4 GiB) next to the
+    # 8.15 GiB argument (4h queue). bf16 is also exactly what the
+    # simsweep_cat_bf16 engine mode stores, so part 3 measures the real
+    # candidate's gather.
     @jax.jit
-    def dot_mat(q, f):
-        return jnp.einsum("qd,nd->qn", q.astype(f.dtype), f,
-                          preferred_element_type=jnp.float32)
+    def dot_mat3(q, f3):
+        sim = jnp.einsum("qd,nld->qnl", q.astype(f3.dtype), f3,
+                         preferred_element_type=jnp.float32)
+        return jax.lax.optimization_barrier(sim.astype(jnp.bfloat16))
 
-    SIM = dot_mat(qcat, flat2)
-    SIM3 = SIM.reshape(nq, N_VIDEOS, N_CLIPS)
+    SIM3 = dot_mat3(qcat, feat2_cat)
 
-    sum_fn = jax.jit(jnp.sum)
-    t2 = time_stage(lambda: sum_fn(SIM))
-    print(f"{'2 sum(SIM) read-reduce':28s} {t2:8.2f} ms   "
-          f"=> dot-only ~ {t1 - t2:.2f} ms", flush=True)
+    sum_fn = jax.jit(lambda s: jnp.sum(s.astype(jnp.float32)))
+    t2 = time_stage(lambda: sum_fn(SIM3))
+    print(f"{'2 sum(SIM3 bf16) read':28s} {t2:8.2f} ms   "
+          f"(f32 read-reduce measured 14.37 ms => dot-only "
+          f"~ {t1 - 14.37:.2f} ms at nq=1000)", flush=True)
 
     @jax.jit
     def gather_only(s3, gi):
-        return jnp.take_along_axis(s3, gi[:, :, None], axis=1)
+        return jnp.take_along_axis(
+            s3, gi[:, :, None], axis=1).astype(jnp.float32)
 
     t3 = time_stage(lambda: gather_only(SIM3, gather_idx))
-    print(f"{'3 gather(SIM) rows':28s} {t3:8.2f} ms", flush=True)
+    print(f"{'3 gather(SIM3 bf16) rows':28s} {t3:8.2f} ms", flush=True)
 
-    del SIM, SIM3
+    SIM3.delete()
+    del SIM3
 
     # --- (4) dot + gather (the engine fusion shape) --------------------------
     @jax.jit

@@ -45,8 +45,9 @@ def setup(request):
     return world, builder, model, variables, rcfg, cache, qb
 
 
-def _run(model, variables, rcfg, cache, qb, n_videos, mode):
-    rcfg = dataclasses.replace(rcfg, span_score_mode=mode)
+def _run(model, variables, rcfg, cache, qb, n_videos, mode, pad_l=0):
+    rcfg = dataclasses.replace(rcfg, span_score_mode=mode,
+                               span_sim_pad_l=pad_l)
     qf = jnp.asarray(qb.query_feat)
     qm = jnp.asarray(qb.query_mask)
     gt = jnp.asarray(np.arange(qf.shape[0]) % n_videos, jnp.int32)
@@ -65,6 +66,10 @@ def _run(model, variables, rcfg, cache, qb, n_videos, mode):
     elif mode.startswith("simsweep_cat"):
         kw["feat2_cat"] = jnp.concatenate(
             [cache.video_feat2, cache.sub_feat2], axis=-1)
+        if pad_l:
+            L = kw["feat2_cat"].shape[1]
+            kw["feat2_cat"] = jnp.pad(
+                kw["feat2_cat"], ((0, 0), (0, pad_l - L), (0, 0)))
     out = _score_query_batch(model, variables, rcfg, qf, qm,
                              cache.video_feat1, cache.video_feat2,
                              cache.sub_feat1, cache.sub_feat2,
@@ -114,6 +119,68 @@ def test_simsweep_cat_matches_gather(setup):
     assert same.mean() > 0.99
     np.testing.assert_allclose(out["svmr_scores"], ref["svmr_scores"],
                                rtol=2e-5, atol=1e-8)
+
+
+def test_simsweep_cat_pad_l_exact(setup):
+    """span_sim_pad_l (lane-tile-exact cat cache, engine flag pad128):
+    the pad columns produce exact-zero similarities that are sliced off
+    before conv — mathematically a no-op, so every selected index/span is
+    identical and scores agree to accumulation-order slack (the changed
+    einsum shape may re-tile the d-contraction; measured ulp-level on CPU
+    at pad 128, bit-equal at pad 16 — same contract as simsweep vs
+    gather). A parity mode, unlike the int8/approx families."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos,
+               "simsweep_cat")
+    int_keys = ("topv_idx", "vcmr_vid_local", "vcmr_st", "vcmr_ed",
+                "svmr_st", "svmr_ed")
+    for pad_l in (16, 128):
+        out = _run(model, variables, rcfg, cache, qb, cache.n_videos,
+                   "simsweep_cat", pad_l=pad_l)
+        for k in ref:
+            if k in int_keys:
+                np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+            else:
+                np.testing.assert_allclose(out[k], ref[k], rtol=1e-5,
+                                           atol=1e-8, err_msg=k)
+
+
+def test_span_sim_pad_l_encode_corpus_and_validation(setup):
+    """encode_corpus applies span_sim_pad_l to the cat cache it builds,
+    and the padded cache scores exactly through the engine (indices
+    identical, scores to accumulation-order slack); composing the flag
+    with the int8 cat modes is rejected."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    rpad = dataclasses.replace(rcfg, span_score_mode="simsweep_cat",
+                               span_sim_pad_l=128)
+    cache_pad = encode_corpus(model, variables, builder, world.corpus, rpad)
+    assert cache_pad.feat2_cat.shape[1] == 128
+
+    qf, qm = jnp.asarray(qb.query_feat), jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    run = lambda cfg_, cache_: _score_query_batch(
+        model, variables, cfg_, qf, qm, cache_.video_feat1,
+        cache_.video_feat2, cache_.sub_feat1, cache_.sub_feat2,
+        cache_.mask, gt, True, feat2_cat=cache_.feat2_cat)
+    rcat = dataclasses.replace(rcfg, span_score_mode="simsweep_cat")
+    cache_cat = encode_corpus(model, variables, builder, world.corpus, rcat)
+    ref, out = run(rcat, cache_cat), run(rpad, cache_pad)
+    int_keys = ("topv_idx", "vcmr_vid_local", "vcmr_st", "vcmr_ed",
+                "svmr_st", "svmr_ed")
+    for k in ref:
+        if k in int_keys:
+            np.testing.assert_array_equal(np.asarray(out[k]),
+                                          np.asarray(ref[k]), err_msg=k)
+        else:
+            np.testing.assert_allclose(np.asarray(out[k]),
+                                       np.asarray(ref[k]), rtol=1e-5,
+                                       atol=1e-8, err_msg=k)
+
+    with pytest.raises(ValueError, match="span_sim_pad_l"):
+        encode_corpus(model, variables, builder, world.corpus,
+                      dataclasses.replace(
+                          rcfg, span_score_mode="simsweep_cat_int8",
+                          span_sim_pad_l=128))
 
 
 def test_simsweep_cat_bf16_close_to_cat(setup):

@@ -421,6 +421,14 @@ class XML(nn.Module):
         excess-precision rule and outputs measure bit-equal to
         sim_dtype=None at the same speed (BENCH_NOTES round 3) — the knob
         is for backends/flags where the narrow store is real.
+
+        feat2_cat's clip axis may be LONGER than context_mask's L
+        (RetrievalConfig.span_sim_pad_l: cache zero-padded to a lane-tile
+        multiple so the materialized similarity is layout-exact). The pad
+        columns produce qcat . 0 = 0 similarities that the slice below
+        discards before conv — mathematically a no-op; values agree with
+        the unpadded cache to accumulation-order slack (the changed dot
+        shape may re-tile the contraction; tests/test_span_score_modes.py).
         """
         c = self.cfg
         assert c.use_video and c.use_sub and c.span_predictor_type == "conv"
@@ -437,7 +445,8 @@ class XML(nn.Module):
             # back bit-equal and the AOT temp did not shrink)
             sim = jax.lax.optimization_barrier(sim.astype(sim_dtype))
         similarity = jnp.take_along_axis(
-            sim, gather_idx[:, :, None], axis=1).astype(jnp.float32)
+            sim, gather_idx[:, :, None],
+            axis=1)[:, :, :context_mask.shape[1]].astype(jnp.float32)
         mask_g = context_mask[gather_idx]                # (Nq, V, L)
         st, ed = self._merged_span_conv(similarity)
         return mask_logits(st, mask_g), mask_logits(ed, mask_g)

@@ -75,6 +75,14 @@ def main() -> None:
                   ("gather", "simsweep"), ("einsum", "pallas"))])
     feat2_cat = (jnp.concatenate([vf2, sf2], axis=-1)
                  if any(c.startswith("simsweep_cat") for c in combos) else None)
+    feat2_cat_pad = None
+    if any("pad128" in c.split("/")[3:] for c in combos):
+        # lane-tile-exact clip axis (RetrievalConfig.span_sim_pad_l=128)
+        feat2_cat_pad = jnp.pad(feat2_cat, ((0, 0), (0, 128 - L), (0, 0)))
+        if all("pad128" in c.split("/")[3:] for c in combos
+               if c.startswith("simsweep_cat")):
+            feat2_cat.delete()
+            feat2_cat = None
     feat2_cat_i8 = feat2_cat_scale = None
     if any(c.split("/")[0] == "simsweep_cat_int8" for c in combos):
         from tvretrieval_tpu.ops.pallas_score import quantize_rows_i8
@@ -122,7 +130,8 @@ def main() -> None:
         # optional trailing flags: "preexp" (video top-k on pre-exp
         # scores), "fused" (kernel-emitted block-max video top-k),
         # "vapprox" (approx_max_k video top-V), "rt<r>" (recall target for
-        # every approx_max_k site, e.g. rt0.95 — default 0.99)
+        # every approx_max_k site, e.g. rt0.95 — default 0.99), "pad128"
+        # (span_sim_pad_l=128 lane-tile-exact cat cache — parity mode)
         flags = set(parts[3:])
         recall = next((float(f[2:]) for f in flags if f.startswith("rt")),
                       base.topk_approx_recall)
@@ -132,7 +141,9 @@ def main() -> None:
                                    video_topk_pre_exp="preexp" in flags,
                                    video_topk_fused="fused" in flags,
                                    video_topk_approx="vapprox" in flags,
-                                   topk_approx_recall=recall)
+                                   topk_approx_recall=recall,
+                                   span_sim_pad_l=(128 if "pad128" in flags
+                                                   else 0))
         if span_mode == "simsweep_cat_int8":
             kw = {"feat2_cat": feat2_cat_i8,
                   "feat2_cat_scale": feat2_cat_scale}
@@ -140,7 +151,8 @@ def main() -> None:
             kw = {"feat2_cat": feat2_flat_i8,
                   "feat2_cat_scale": feat2_flat_scale}
         elif span_mode.startswith("simsweep_cat"):
-            kw = {"feat2_cat": feat2_cat}
+            kw = {"feat2_cat": (feat2_cat_pad if "pad128" in flags
+                                else feat2_cat)}
         else:
             kw = {}
         f1v = {"pallas": vf1_flat, "pallas_int8": vf1_i8}.get(vid_mode, vf1)

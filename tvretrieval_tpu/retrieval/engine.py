@@ -96,6 +96,20 @@ class RetrievalConfig:
     #               metric A/B.
     #   "gather":   gather top-V feature rows, then sim+conv (round-2 path)
     span_score_mode: str = "gather"
+    # Zero-pad the concatenated cache's clip axis (L=100) to this length at
+    # cache build ("simsweep_cat"/"simsweep_cat_bf16" only; 0 = off).
+    # Set to 128 so the corpus-wide (Nq, Nv, Lp) similarity is LANE-TILE
+    # EXACT: with L=100 the minor dim pads 100 -> 128 in layout anyway and
+    # the materializing store writes partial lanes; a 128-long logical
+    # minor dim costs +28% sweep contraction FLOPs but stores at full HBM
+    # efficiency and keeps the top-V row gather on the fast second-minor
+    # path. The pad columns score qcat . 0 = 0 and are sliced off before
+    # conv — mathematically a no-op (a PARITY mode: identical selections;
+    # scores agree to backend accumulation-order slack, since the changed
+    # dot shape may re-tile the contraction — same contract as simsweep
+    # vs gather; tests/test_span_score_modes.py). Measured: BENCH_NOTES
+    # round 4.
+    span_sim_pad_l: int = 0
     # video-level q2c stage:
     #   "einsum": XLA einsum -> mask -> max (materializes (Nq, L, Nv) f32)
     #   "pallas": fused flat-cache kernel (ops/pallas_score.py
@@ -203,6 +217,26 @@ class CorpusCache:
     #                                          with an int8 feat2_cat)
 
 
+def _maybe_pad_clip_axis(feat2_cat, cfg: RetrievalConfig):
+    """Apply RetrievalConfig.span_sim_pad_l to a just-built (Nv, L, 2D)
+    concatenated cache. Pad columns are exact zeros -> zero similarities,
+    sliced off inside merged_st_ed_scores_simgather_cat (parity mode)."""
+    pad_l = getattr(cfg, "span_sim_pad_l", 0)
+    if not pad_l or feat2_cat is None:
+        return feat2_cat
+    if cfg.span_score_mode not in ("simsweep_cat", "simsweep_cat_bf16"):
+        raise ValueError(
+            "span_sim_pad_l only composes with span_score_mode="
+            "'simsweep_cat'/'simsweep_cat_bf16' (the int8 flat layout has "
+            f"its own SPAN_LP pad), got {cfg.span_score_mode!r}")
+    L = feat2_cat.shape[1]
+    if pad_l < L:
+        raise ValueError(f"span_sim_pad_l={pad_l} < cache clip length {L}")
+    if pad_l == L:
+        return feat2_cat
+    return jnp.pad(feat2_cat, ((0, 0), (0, pad_l - L), (0, 0)))
+
+
 def _uses_fast_path(model: XML) -> bool:
     """True when _score_query_batch takes the fast merged-two-stream branch
     (the only consumer of the flat pallas feat1 layout); other configs go
@@ -282,6 +316,7 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
         # streams, which are dropped — only the cat path consumes feat2)
         feat2_cat = jnp.concatenate([vf2_all, sf2_all], axis=-1)
         vf2_all = sf2_all = None
+        feat2_cat = _maybe_pad_clip_axis(feat2_cat, cfg)
         if cfg.span_score_mode == "simsweep_cat_int8":
             # per-(video, clip)-row symmetric quantization (feat2 is not
             # unit-norm, so scales are kept; halves the feat2 HBM)
@@ -393,6 +428,7 @@ def encode_corpus_resident(model: XML, variables, device_data,
             vf1_all = quantize_unit_i8(vf1_all)
             sf1_all = quantize_unit_i8(sf1_all)
     feat2_cat, feat2_cat_scale = bufs.pop("feat2_cat", None), None
+    feat2_cat = _maybe_pad_clip_axis(feat2_cat, cfg)
     if (feat2_cat is not None
             and cfg.span_score_mode == "simsweep_cat_int8"):
         # pop + rebind: the f32 source frees once the int8 copy (half

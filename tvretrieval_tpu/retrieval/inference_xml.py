@@ -28,7 +28,7 @@ EVAL_OVERRIDABLE = (
     "max_before_nms", "max_vcmr_video", "external_inference_vr_res_path",
     "span_score_mode", "video_score_mode", "span_topk_mode", "eval_cache_dtype",
     "video_topk_fused", "video_topk_approx", "topk_approx_recall",
-    "streaming", "streaming_block_videos",
+    "span_sim_pad_l", "streaming", "streaming_block_videos",
 )
 
 
@@ -56,6 +56,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "scores (A/B-contracted, not a parity mode)")
     p.add_argument("--topk_approx_recall", type=float, default=None,
                    help="recall target for every approx_max_k site")
+    p.add_argument("--span_sim_pad_l", type=int, default=None,
+                   help="pad the cat cache's clip axis to this length "
+                        "(128: lane-tile-exact span similarity; parity "
+                        "mode, simsweep_cat/_bf16 only)")
     p.add_argument("--eval_cache_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--eval_query_bsz", type=int, default=None)

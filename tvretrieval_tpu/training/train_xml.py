@@ -165,6 +165,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "scores (A/B-contracted, not a parity mode)")
     p.add_argument("--topk_approx_recall", type=float, default=0.99,
                    help="recall target for every approx_max_k site")
+    p.add_argument("--span_sim_pad_l", type=int, default=0,
+                   help="pad the cat cache's clip axis to this length "
+                        "(128: lane-tile-exact span similarity; parity "
+                        "mode, simsweep_cat/_bf16 only; 0 = off)")
     p.add_argument("--eval_cache_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="corpus-cache dtype for retrieval eval; bfloat16 "
@@ -273,7 +277,8 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
         video_topk_fused=bool(getattr(args, "video_topk_fused", 0) or 0),
         video_topk_approx=bool(getattr(args, "video_topk_approx", 0) or 0),
         topk_approx_recall=float(
-            getattr(args, "topk_approx_recall", 0.99) or 0.99))
+            getattr(args, "topk_approx_recall", 0.99) or 0.99),
+        span_sim_pad_l=int(getattr(args, "span_sim_pad_l", 0) or 0))
     from tvretrieval_tpu.retrieval.engine import auto_interpret
     rcfg = auto_interpret(rcfg)
     # test_public rows carry no GT (no ts/vid_name): generate the submission
@@ -381,7 +386,8 @@ def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
         video_topk_fused=bool(getattr(args, "video_topk_fused", 0) or 0),
         video_topk_approx=bool(getattr(args, "video_topk_approx", 0) or 0),
         topk_approx_recall=float(
-            getattr(args, "topk_approx_recall", 0.99) or 0.99))
+            getattr(args, "topk_approx_recall", 0.99) or 0.99),
+        span_sim_pad_l=int(getattr(args, "span_sim_pad_l", 0) or 0))
     from tvretrieval_tpu.retrieval.engine import auto_interpret
     rcfg = auto_interpret(rcfg)
     if device_data is not None:
