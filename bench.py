@@ -89,7 +89,8 @@ def main() -> None:
             "BENCH_VIDEO_TOPK_APPROX", "0"))),
         topk_approx_recall=float(os.environ.get(
             "BENCH_TOPK_RECALL", "0.99")),
-        span_sim_pad_l=int(os.environ.get("BENCH_SPAN_SIM_PAD_L", "0")))
+        span_sim_pad_l=int(os.environ.get("BENCH_SPAN_SIM_PAD_L", "0")),
+        video_chunk_v=int(os.environ.get("BENCH_VIDEO_CHUNK_V", "16")))
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
@@ -130,7 +131,7 @@ def main() -> None:
     from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
                                                   quantize_unit_i8)
     def flat_i8(k):
-        f = build_flat_feat1(normed(k), mask)
+        f = build_flat_feat1(normed(k), mask, chunk_v=rcfg.video_chunk_v)
         out = quantize_unit_i8(f)
         f.delete()  # the bf16 flat is not read again (HBM headroom)
         return out

@@ -155,6 +155,53 @@ def test_sharded_bench_modes_match_single_device(setup):
                                   np.asarray(ref["svmr_ed"]))
 
 
+def test_sharded_pad128_matches_single_device(setup):
+    """span_sim_pad_l composes with the sharded engine: encode_corpus pads
+    the cat cache's clip axis BEFORE sharding, each shard's span sweep runs
+    on the padded cache (pad columns score exact zero, sliced off before
+    conv), and every selected index matches the unpadded single-device
+    reference (parity contract, same as the single-chip pad tests)."""
+    import dataclasses
+
+    from tvretrieval_tpu.parallel.sharded_retrieval import cat_mode_feat2_args
+
+    world, builder, model, variables, rcfg, cache, qb = setup
+    mesh = make_mesh(8)
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(6) % len(world.corpus), jnp.int32)
+
+    refcfg = dataclasses.replace(rcfg, span_score_mode="simsweep_cat")
+    refcache = encode_corpus(model, variables, builder, world.corpus, refcfg)
+    ref = _score_query_batch(model, variables, refcfg, qf, qm,
+                             refcache.video_feat1, refcache.video_feat2,
+                             refcache.sub_feat1, refcache.sub_feat2,
+                             refcache.mask, gt, True,
+                             feat2_cat=refcache.feat2_cat)
+
+    scfg = dataclasses.replace(rcfg, span_score_mode="simsweep_cat",
+                               span_topk_mode="grouped_shift",
+                               span_sim_pad_l=32)  # > max_ctx_l=14
+    scache = encode_corpus(model, variables, builder, world.corpus, scfg)
+    assert scache.feat2_cat.shape[1] == 32
+    scache = shard_corpus_cache(scache, mesh, cfg=scfg)
+    f2c, sf2_dummy = cat_mode_feat2_args(scache)
+
+    out = score_query_batch_sharded(model, variables, scfg, qf, qm,
+                                    scache.video_feat1, f2c,
+                                    scache.sub_feat1, sf2_dummy,
+                                    scache.mask, gt, True, mesh)
+
+    np.testing.assert_array_equal(np.asarray(out["topv_idx"]),
+                                  np.asarray(ref["topv_idx"]))
+    for k in ("vcmr_st", "vcmr_ed", "svmr_st", "svmr_ed"):
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+    np.testing.assert_allclose(np.asarray(out["vcmr_scores"]),
+                               np.asarray(ref["vcmr_scores"]),
+                               rtol=2e-5, atol=1e-8)
+
+
 def test_sharded_grouped_shift_bit_equal_to_flat_topk(setup):
     """span_topk_mode='grouped_shift' alone (keep_mask path included) must
     be BIT-EQUAL to the round-2 flat banded top-k inside the shard program:

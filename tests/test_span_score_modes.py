@@ -328,6 +328,35 @@ def test_pallas_flat_cache_engine_matches_einsum(setup):
         host_cache_from_device(pcache)
 
 
+def test_video_chunk_v_engine_bit_equal(setup):
+    """RetrievalConfig.video_chunk_v (videos per grid step of the flat
+    pallas kernels) threads through BOTH cache build and kernel call and
+    is a pure tiling knob: every engine output is bit-equal across values
+    (per-video integer/max accumulation is chunk-independent). n_videos=23
+    exercises the edge block at chunk 8 (pad to 24) and 16 (pad to 32)."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+
+    def run_chunk(chunk):
+        ccfg = dataclasses.replace(rcfg, video_score_mode="pallas",
+                                   pallas_interpret=True,
+                                   video_chunk_v=chunk)
+        ccache = encode_corpus(model, variables, builder, world.corpus,
+                               ccfg)
+        out = _score_query_batch(model, variables, ccfg, qf, qm,
+                                 ccache.video_feat1, ccache.video_feat2,
+                                 ccache.sub_feat1, ccache.sub_feat2,
+                                 ccache.mask, gt, True)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    ref = run_chunk(16)
+    out = run_chunk(8)
+    for k in ref:
+        np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+
+
 def test_grouped_shift_engine_matches_grouped(setup):
     """ENGINE-LEVEL contract for span_topk_mode='grouped_shift': the full
     program output is bit-equal to the default grouped expansion."""

@@ -33,6 +33,11 @@ def main() -> None:
                    help="subset like gather/einsum simsweep/pallas")
     p.add_argument("--interpret", action="store_true",
                    help="run Pallas kernels in interpret mode (CPU smoke)")
+    p.add_argument("--chunk_v", type=int, default=16,
+                   help="videos per grid step of the flat pallas video "
+                        "kernels (RetrievalConfig.video_chunk_v; applies "
+                        "to every combo in this invocation — the flat "
+                        "caches are built once)")
     args = p.parse_args()
 
     import jax
@@ -47,7 +52,8 @@ def main() -> None:
                     n_heads=4, max_ctx_l=L, max_desc_l=30)
     model = XML(cfg)
     base = RetrievalConfig(cache_dtype_str="bfloat16", query_bsz=args.nq,
-                           pallas_interpret=args.interpret)
+                           pallas_interpret=args.interpret,
+                           video_chunk_v=args.chunk_v)
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
@@ -107,8 +113,8 @@ def main() -> None:
     if any(c.split("/")[1] in ("pallas", "pallas_int8") for c in combos):
         from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
                                                       quantize_unit_i8)
-        vf1_flat = build_flat_feat1(vf1, mask)
-        sf1_flat = build_flat_feat1(sf1, mask)
+        vf1_flat = build_flat_feat1(vf1, mask, chunk_v=args.chunk_v)
+        sf1_flat = build_flat_feat1(sf1, mask, chunk_v=args.chunk_v)
         if any(c.split("/")[1] == "pallas_int8" for c in combos):
             vf1_i8 = quantize_unit_i8(vf1_flat)
             sf1_i8 = quantize_unit_i8(sf1_flat)

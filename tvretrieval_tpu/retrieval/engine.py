@@ -129,6 +129,14 @@ class RetrievalConfig:
     #             mode: accuracy contract = the trained-checkpoint metric
     #             A/B in BENCH_NOTES round 3.
     video_score_mode: str = "einsum"
+    # Videos per grid step of the flat pallas video kernels — threads
+    # through BOTH the cache build (build_flat_feat1 pads Nv to a chunk_v
+    # multiple) and the kernel call, so they always agree. Results are
+    # bit-equal across values (integer/max accumulation per video is
+    # chunk-independent; tests/test_span_score_modes.py). Standalone
+    # kernel sweep at corpus scale (results_scale/q4c_logs/chunks.log):
+    # int8 prefers 32 (8.75 ms vs 9.04 at 16); bf16 prefers 8-16.
+    video_chunk_v: int = 16
     # VCMR span top-k candidate expansion (all bit-equal to the flat
     # banded top-k; see ops/span.py):
     #   "grouped":        band-materializing expansion ((Nq, V, L, W) tensor)
@@ -335,8 +343,10 @@ def encode_corpus(model: XML, variables, builder: ExampleBuilder,
         # (one-time relayout; same HBM +4% length pad)
         from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
                                                       quantize_unit_i8)
-        vf1_all = build_flat_feat1(vf1_all, mask_all)
-        sf1_all = build_flat_feat1(sf1_all, mask_all)
+        vf1_all = build_flat_feat1(vf1_all, mask_all,
+                                   chunk_v=cfg.video_chunk_v)
+        sf1_all = build_flat_feat1(sf1_all, mask_all,
+                                   chunk_v=cfg.video_chunk_v)
         if cfg.video_score_mode == "pallas_int8":
             # rows are L2-normalized: symmetric scale-127 quantization
             # (halves the feat1 HBM; consumed by the s8 MXU kernel)
@@ -422,8 +432,10 @@ def encode_corpus_resident(model: XML, variables, device_data,
         # materializes — this path exists to avoid transient cache doubling
         from tvretrieval_tpu.ops.pallas_score import (build_flat_feat1,
                                                       quantize_unit_i8)
-        vf1_all = build_flat_feat1(vf1_all, bufs["mask"])
-        sf1_all = build_flat_feat1(sf1_all, bufs["mask"])
+        vf1_all = build_flat_feat1(vf1_all, bufs["mask"],
+                                   chunk_v=cfg.video_chunk_v)
+        sf1_all = build_flat_feat1(sf1_all, bufs["mask"],
+                                   chunk_v=cfg.video_chunk_v)
         if cfg.video_score_mode == "pallas_int8":
             vf1_all = quantize_unit_i8(vf1_all)
             sf1_all = quantize_unit_i8(sf1_all)
@@ -513,6 +525,7 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
                     qvt, qst, video_feat1, sub_feat1,
                     n_videos=ctx_mask.shape[0],
                     lp=flat_lp(ctx_mask.shape[1]),
+                    chunk_v=cfg.video_chunk_v,
                     interpret=getattr(cfg, "pallas_interpret", False))
                 q2c = scores_pad[:, :ctx_mask.shape[0]]
             elif cfg.video_score_mode == "pallas_int8":
@@ -523,6 +536,7 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
                     quantize_unit_i8(normq(sq)).T,
                     video_feat1, sub_feat1, n_videos=ctx_mask.shape[0],
                     lp=flat_lp(ctx_mask.shape[1]),
+                    chunk_v=cfg.video_chunk_v,
                     interpret=getattr(cfg, "pallas_interpret", False))
             else:
                 normcast = lambda q, feat: normq(q).astype(feat.dtype)
@@ -530,6 +544,7 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
                     normcast(vq, video_feat1).T, normcast(sq, sub_feat1).T,
                     video_feat1, sub_feat1, n_videos=ctx_mask.shape[0],
                     lp=flat_lp(ctx_mask.shape[1]),
+                    chunk_v=cfg.video_chunk_v,
                     interpret=getattr(cfg, "pallas_interpret", False))
         else:
             fused_bmax = None

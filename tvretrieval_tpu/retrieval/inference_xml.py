@@ -28,7 +28,8 @@ EVAL_OVERRIDABLE = (
     "max_before_nms", "max_vcmr_video", "external_inference_vr_res_path",
     "span_score_mode", "video_score_mode", "span_topk_mode", "eval_cache_dtype",
     "video_topk_fused", "video_topk_approx", "topk_approx_recall",
-    "span_sim_pad_l", "streaming", "streaming_block_videos",
+    "span_sim_pad_l", "video_chunk_v", "streaming",
+    "streaming_block_videos",
 )
 
 
@@ -60,6 +61,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="pad the cat cache's clip axis to this length "
                         "(128: lane-tile-exact span similarity; parity "
                         "mode, simsweep_cat/_bf16 only)")
+    p.add_argument("--video_chunk_v", type=int, default=None,
+                   help="videos per grid step of the flat pallas video "
+                        "kernels (bit-equal tiling knob; int8 prefers 32 "
+                        "at corpus scale)")
     p.add_argument("--eval_cache_dtype", type=str, default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--eval_query_bsz", type=int, default=None)

@@ -169,6 +169,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="pad the cat cache's clip axis to this length "
                         "(128: lane-tile-exact span similarity; parity "
                         "mode, simsweep_cat/_bf16 only; 0 = off)")
+    p.add_argument("--video_chunk_v", type=int, default=16,
+                   help="videos per grid step of the flat pallas video "
+                        "kernels (bit-equal tiling knob; int8 prefers 32 "
+                        "at corpus scale)")
     p.add_argument("--eval_cache_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="corpus-cache dtype for retrieval eval; bfloat16 "
@@ -278,7 +282,8 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
         video_topk_approx=bool(getattr(args, "video_topk_approx", 0) or 0),
         topk_approx_recall=float(
             getattr(args, "topk_approx_recall", 0.99) or 0.99),
-        span_sim_pad_l=int(getattr(args, "span_sim_pad_l", 0) or 0))
+        span_sim_pad_l=int(getattr(args, "span_sim_pad_l", 0) or 0),
+        video_chunk_v=int(getattr(args, "video_chunk_v", 16) or 16))
     from tvretrieval_tpu.retrieval.engine import auto_interpret
     rcfg = auto_interpret(rcfg)
     # test_public rows carry no GT (no ts/vid_name): generate the submission
@@ -387,7 +392,8 @@ def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
         video_topk_approx=bool(getattr(args, "video_topk_approx", 0) or 0),
         topk_approx_recall=float(
             getattr(args, "topk_approx_recall", 0.99) or 0.99),
-        span_sim_pad_l=int(getattr(args, "span_sim_pad_l", 0) or 0))
+        span_sim_pad_l=int(getattr(args, "span_sim_pad_l", 0) or 0),
+        video_chunk_v=int(getattr(args, "video_chunk_v", 16) or 16))
     from tvretrieval_tpu.retrieval.engine import auto_interpret
     rcfg = auto_interpret(rcfg)
     if device_data is not None:
