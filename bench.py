@@ -21,13 +21,15 @@ RTX 2080Ti's full 616 GB/s with zero compute/sort/host cost bounds it at
 from __future__ import annotations
 
 import json
+import os
 import time
 
 BASELINE_REF_QPS = 170.0
 N_VIDEOS = 21818
 N_CLIPS = 100
 HIDDEN = 256
-QUERY_BSZ = 1000  # the int8 feat1 cache frees ~1.1 GiB vs bf16, so 1200
+QUERY_BSZ = int(os.environ.get("BENCH_QUERY_BSZ", "1000"))
+#                 the int8 feat1 cache frees ~1.1 GiB vs bf16, so 1200
 #                   now FITS (bf16 needed 15.76 GiB) — but measured SLOWER:
 #                   15,470 q/s at 1200 vs 16,065 at 1000, builder-local run
 #                   (driver capture of the same config: 15,986, BENCH_r03;

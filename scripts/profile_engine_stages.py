@@ -67,14 +67,24 @@ def main():
                     hidden_size=HIDDEN, n_heads=4, max_ctx_l=N_CLIPS,
                     max_desc_l=30)
     model = XML(cfg)
+    # PROFILE_PAD128=1: ledger of the round-4 SHIPPED config instead of the
+    # r3 one — span_sim_pad_l=128 (lane-tile-exact cat cache; BENCH_NOTES
+    # round 4i: +19.5% engine capture) + pallas_int8 video scores, with
+    # bench.py's residency (bf16 flats deleted after int8 quantization —
+    # the padded cat cache +0.6 GB plus the pad128 span-stage temps do not
+    # fit next to the bf16 flats at qbsz=1000).
+    profile_pad128 = bool(os.environ.get("PROFILE_PAD128"))
     # CPU smoke runs can't lower the Mosaic kernel — fused program falls
     # back to the einsum video-score mode there
     rcfg = RetrievalConfig(cache_dtype_str="bfloat16",
                            span_score_mode="simsweep_cat",
                            span_topk_mode="grouped_shift",
+                           span_sim_pad_l=128 if profile_pad128 else 0,
                            video_score_mode=("einsum"
                                              if os.environ.get("PROFILE_CPU")
-                                             else "pallas"))
+                                             else ("pallas_int8"
+                                                   if profile_pad128
+                                                   else "pallas")))
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
     dummy = dict(
         query_feat=jnp.zeros((2, 30, 768)), query_mask=jnp.ones((2, 30)),
@@ -113,6 +123,14 @@ def main():
     from tvretrieval_tpu.ops.pallas_score import (quantize_unit_i8,
                                                   video_scores_pallas_flat_i8)
     vf1_i8, sf1_i8 = quantize_unit_i8(vf1_flat), quantize_unit_i8(sf1_flat)
+    NVP = vf1_flat.shape[0] // 104                      # flat-padded videos
+    if profile_pad128:
+        # bench residency: int8 flats only; cat cache lane-tile-exact
+        vf1_flat.delete()
+        sf1_flat.delete()
+        vf1_flat = sf1_flat = None
+        feat2_cat = jnp.pad(
+            feat2_cat, ((0, 0), (0, rcfg.span_sim_pad_l - N_CLIPS), (0, 0)))
     # the einsum reference stage needs the (Nv, L, D) 3-D caches resident
     # (2.24 GB). Its number is documented (BENCH_NOTES r2/r3: ~46 ms at
     # 800); with the round-4 int8-flat span cache also resident the full
@@ -148,7 +166,8 @@ def main():
             return mask_logits(s, mask.T[None]).max(axis=1)
         return (one(vq, vf1) + one(sq, sf1)) / 2
 
-    q2c = s_vscore_pallas(vq, sq, vf1_flat, sf1_flat)
+    q2c = (s_vscore_i8(vq, sq, vf1_i8, sf1_i8) if profile_pad128
+           else s_vscore_pallas(vq, sq, vf1_flat, sf1_flat))
 
     @jax.jit
     def s_topv(q2c):
@@ -246,6 +265,10 @@ def main():
                                               sf1_flat),
         "video_score_pallas_int8": lambda: s_vscore_i8(vq, sq, vf1_i8,
                                                        sf1_i8),
+    }
+    if profile_pad128:
+        del stages["video_score_pallas"]    # bf16 flats not resident
+    stages |= {
         "video_topk": lambda: s_topv(q2c),
         "video_topk_approx95": lambda: s_topv_approx95(q2c),
         "video_score_i8_fused_topk": lambda: s_vscore_i8_fused_topk(
@@ -271,8 +294,8 @@ def main():
     # HBM traffic); MFU% = flops / (peak * measured time).
     PEAK_BF16, PEAK_INT8, HBM = 197e12, 394e12, 819e9   # v5e
     n, D, D2 = qbsz, HIDDEN, 2 * HIDDEN
-    NVP = vf1_flat.shape[0] // 104                      # flat-padded videos
-    NVL = N_VIDEOS * N_CLIPS
+    # NVP (flat-padded videos) computed above, before any flat deletion
+    NVL = N_VIDEOS * feat2_cat.shape[1]   # padded clip axis under pad128
     SLP = (feat2_flat_scale.shape[1] if profile_i8flat
            else 128)                                    # span flat pad (128)
     fl_vs = 2 * 2 * n * NVP * 104 * D                   # 2 streams, 2*N*M*K
@@ -321,10 +344,15 @@ def main():
             print(f"{name:32s} {ms:8.2f}", flush=True)
     print(f"{'sum (r3 bench path, upper bound)':32s} {total_modeled:8.2f} ms")
 
+    if rcfg.video_score_mode == "pallas_int8":
+        fused_vf, fused_sf = vf1_i8, sf1_i8
+    elif rcfg.video_score_mode == "pallas":
+        fused_vf, fused_sf = vf1_flat, sf1_flat
+    else:
+        fused_vf, fused_sf = vf1, sf1
     fused = lambda: _score_query_batch(
         model, variables, rcfg, q_feat, q_mask,
-        vf1_flat if rcfg.video_score_mode == "pallas" else vf1, None,
-        sf1_flat if rcfg.video_score_mode == "pallas" else sf1, None,
+        fused_vf, None, fused_sf, None,
         mask, gt, True, feat2_cat=feat2_cat)
     ms = time_stage(fused)
     print(f"{'fused _score_query_batch':32s} {ms:8.2f} ms  "
