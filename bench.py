@@ -77,13 +77,25 @@ def main() -> None:
     #   recall points (BENCH_NOTES round 3, JSONs in results_scale/)
     # - grouped_shift span top-k: shift-reduction expansion (bit-exact,
     #   no (Nq, V, L, W) band tensor)
-    # mode overrides for A/B capture runs (the defaults below stay the
-    # shipped configuration; a default flip requires a trained-checkpoint
-    # metric A/B first — see BENCH_NOTES round-4 approx-selection story)
+    # - span_sim_pad_l=128: lane-tile-exact clip axis for the materialized
+    #   similarity — removes the 100->128 minor-dim layout tax on the
+    #   top-V sim-row gather. A bit-exact PARITY mode (identical
+    #   selections; tests/test_span_score_modes.py single-chip AND
+    #   sharded), so no A/B gate applies — shipped as the round-4 headline
+    #   (+19.5%: 19,179 vs 16,087 q/s under this harness,
+    #   results_scale/q4c_logs/bench_candidates.log).
+    # mode overrides below are for A/B capture runs only; the defaults ARE
+    # the shipped configuration.
+    span_mode = os.environ.get("BENCH_SPAN_SCORE_MODE", "simsweep_cat")
+    if span_mode not in ("simsweep_cat", "simsweep_cat_bf16"):
+        # the synthetic cache below is built bf16+cat; int8/gather modes
+        # need a different cache layout that bench does not synthesize
+        raise SystemExit(
+            f"BENCH_SPAN_SCORE_MODE={span_mode!r} unsupported by bench.py "
+            "(only simsweep_cat / simsweep_cat_bf16)")
     rcfg = RetrievalConfig(
         cache_dtype_str="bfloat16",
-        span_score_mode=os.environ.get("BENCH_SPAN_SCORE_MODE",
-                                       "simsweep_cat"),
+        span_score_mode=span_mode,
         video_score_mode="pallas_int8",
         span_topk_mode=os.environ.get("BENCH_SPAN_TOPK_MODE",
                                       "grouped_shift"),
@@ -91,7 +103,7 @@ def main() -> None:
             "BENCH_VIDEO_TOPK_APPROX", "0"))),
         topk_approx_recall=float(os.environ.get(
             "BENCH_TOPK_RECALL", "0.99")),
-        span_sim_pad_l=int(os.environ.get("BENCH_SPAN_SIM_PAD_L", "0")),
+        span_sim_pad_l=int(os.environ.get("BENCH_SPAN_SIM_PAD_L", "128")),
         video_chunk_v=int(os.environ.get("BENCH_VIDEO_CHUNK_V", "16")))
 
     key = jax.random.PRNGKey(0)
@@ -118,14 +130,12 @@ def main() -> None:
 
     # feat2 streams live concatenated in the cache (simsweep_cat layout;
     # same total HBM as two separate streams)
+    from tvretrieval_tpu.retrieval.engine import _maybe_pad_clip_axis
     feat2_cat = jnp.concatenate(
         [jax.random.normal(ks[4], shape, dtype=dt),
          jax.random.normal(ks[6], shape, dtype=dt)], axis=-1)
-    if rcfg.span_sim_pad_l:
-        # lane-tile-exact clip axis (see RetrievalConfig.span_sim_pad_l)
-        feat2_cat = jnp.pad(
-            feat2_cat,
-            ((0, 0), (0, rcfg.span_sim_pad_l - N_CLIPS), (0, 0)))
+    # same pad path as encode_corpus (validates the mode/pad combo)
+    feat2_cat = _maybe_pad_clip_axis(feat2_cat, rcfg)
     mask = jnp.ones((N_VIDEOS, N_CLIPS), jnp.float32)
     # feat1 streams in the video-major flat mask-free layout consumed by
     # the pallas video-score kernel (what encode_corpus builds), quantized

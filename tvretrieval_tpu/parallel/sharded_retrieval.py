@@ -45,8 +45,12 @@ from tvretrieval_tpu.ops.span import (
 )
 
 
-def shard_corpus_cache(cache, mesh: Mesh, cfg=None, chunk_v: int = 16):
+def shard_corpus_cache(cache, mesh: Mesh, cfg=None, chunk_v: int | None = None):
     """Pad the video axis and device_put the cache tensors video-sharded.
+
+    chunk_v defaults to ``cfg.video_chunk_v`` (16 when cfg is None or has
+    no such knob) so the sharded cache build honors the same tiling knob as
+    the single-chip engine; shard_fn passes the same value to the kernels.
 
     cfg=None (round-2 behavior): tensors must already be padded to a mesh
     multiple (pad rows carry mask=0).
@@ -74,6 +78,8 @@ def shard_corpus_cache(cache, mesh: Mesh, cfg=None, chunk_v: int = 16):
             "span_score_mode='simsweep_cat' and let shard_corpus_cache build "
             "the per-shard flat layout (cfg with span_score_mode="
             "'simsweep_cat_int8_flat')")
+    if chunk_v is None:
+        chunk_v = getattr(cfg, "video_chunk_v", 16) if cfg is not None else 16
     if cfg is not None:
         pallas = (getattr(cfg, "video_score_mode", "einsum")
                   in ("pallas", "pallas_int8")
@@ -229,7 +235,9 @@ def score_query_batch_sharded(model: XML, variables, cfg,
                     # bit-for-bit (tests/test_sharded_retrieval.py).
                     scores_pad, bmax = video_scores_pallas_flat_bmax(
                         qvt, qst, vf1, sf1, n_videos=nv_local,
-                        lp=flat_lp(cmask.shape[1]), interpret=interp)
+                        lp=flat_lp(cmask.shape[1]),
+                        chunk_v=getattr(cfg, "video_chunk_v", 16),
+                        interpret=interp)
                     nvp = scores_pad.shape[1]
                     chunk = nvp // bmax.shape[1]
                     n_valid = (cmask.max(axis=1) > 0).sum().astype(jnp.int32)
@@ -257,12 +265,16 @@ def score_query_batch_sharded(model: XML, variables, cfg,
                     fused_blocks = None
                     q2c = video_scores_pallas_flat_i8(
                         qvt, qst, vf1, sf1, n_videos=nv_local,
-                        lp=flat_lp(cmask.shape[1]), interpret=interp)
+                        lp=flat_lp(cmask.shape[1]),
+                        chunk_v=getattr(cfg, "video_chunk_v", 16),
+                        interpret=interp)
                 else:
                     fused_blocks = None
                     q2c = video_scores_pallas_flat(
                         qvt, qst, vf1, sf1, n_videos=nv_local,
-                        lp=flat_lp(cmask.shape[1]), interpret=interp)
+                        lp=flat_lp(cmask.shape[1]),
+                        chunk_v=getattr(cfg, "video_chunk_v", 16),
+                        interpret=interp)
                 if fused_blocks is None:
                     has_clip = cmask.max(axis=1) > 0              # (nv_local,)
                     q2c = jnp.where(has_clip[None, :], q2c, NEG_INF)

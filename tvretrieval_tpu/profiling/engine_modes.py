@@ -81,12 +81,23 @@ def main() -> None:
                   ("gather", "simsweep"), ("einsum", "pallas"))])
     feat2_cat = (jnp.concatenate([vf2, sf2], axis=-1)
                  if any(c.startswith("simsweep_cat") for c in combos) else None)
+    pad_combos = [c for c in combos if "pad128" in c.split("/")[3:]]
+    bad = [c for c in pad_combos
+           if c.split("/")[0] not in ("simsweep_cat", "simsweep_cat_bf16")]
+    if bad:
+        # pad128 = RetrievalConfig.span_sim_pad_l, which only composes with
+        # the bf16 cat sweep modes (engine._maybe_pad_clip_axis raises too)
+        raise SystemExit(f"pad128 flag only valid on simsweep_cat/"
+                         f"simsweep_cat_bf16 combos, got: {bad}")
     feat2_cat_pad = None
-    if any("pad128" in c.split("/")[3:] for c in combos):
+    if pad_combos:
         # lane-tile-exact clip axis (RetrievalConfig.span_sim_pad_l=128)
         feat2_cat_pad = jnp.pad(feat2_cat, ((0, 0), (0, 128 - L), (0, 0)))
-        if all("pad128" in c.split("/")[3:] for c in combos
-               if c.startswith("simsweep_cat")):
+        int8_needs_cat = any(
+            c.split("/")[0].startswith("simsweep_cat_int8") for c in combos)
+        if not int8_needs_cat and all(
+                "pad128" in c.split("/")[3:] for c in combos
+                if c.startswith("simsweep_cat")):
             feat2_cat.delete()
             feat2_cat = None
     feat2_cat_i8 = feat2_cat_scale = None

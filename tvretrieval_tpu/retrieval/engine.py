@@ -230,13 +230,18 @@ def _maybe_pad_clip_axis(feat2_cat, cfg: RetrievalConfig):
     concatenated cache. Pad columns are exact zeros -> zero similarities,
     sliced off inside merged_st_ed_scores_simgather_cat (parity mode)."""
     pad_l = getattr(cfg, "span_sim_pad_l", 0)
-    if not pad_l or feat2_cat is None:
+    if not pad_l:
         return feat2_cat
+    # mode check BEFORE the feat2_cat None check: a nonzero pad with
+    # gather/simsweep/int8-flat modes must fail loudly, not silently no-op
+    # (those paths never build the bf16 cat cache this pad applies to)
     if cfg.span_score_mode not in ("simsweep_cat", "simsweep_cat_bf16"):
         raise ValueError(
             "span_sim_pad_l only composes with span_score_mode="
             "'simsweep_cat'/'simsweep_cat_bf16' (the int8 flat layout has "
             f"its own SPAN_LP pad), got {cfg.span_score_mode!r}")
+    if feat2_cat is None:
+        return feat2_cat
     L = feat2_cat.shape[1]
     if pad_l < L:
         raise ValueError(f"span_sim_pad_l={pad_l} < cache clip length {L}")
