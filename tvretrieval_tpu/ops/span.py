@@ -127,6 +127,38 @@ def topk_stable_blocked(scores: jnp.ndarray, k: int, block: int = 16):
     return vals, jnp.minimum(src, n - 1).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("k", "block", "interpret"))
+def topk_stable_blocked_psort(scores: jnp.ndarray, k: int, block: int = 8,
+                              interpret: bool = False):
+    """topk_stable_blocked with both ``lax.top_k`` calls replaced by the
+    lane-parallel transposed bitonic kernel (ops.pallas_sort.
+    topk_transposed) — bit-equal to ``jax.lax.top_k`` (the kernel
+    reproduces the stable tie order, and the blocked cover argument is
+    selection-impl-independent; tests/test_pallas_sort.py +
+    tests/test_span_score_modes.py). XLA's TopK sorts along the LANE axis
+    (cross-lane exchanges); the kernel sorts 128 queries in lockstep down
+    the SUBLANE axis. Measured at the engine's selection shapes in
+    BENCH_NOTES round 5."""
+    from tvretrieval_tpu.ops.pallas_sort import topk_transposed
+    nq, n = scores.shape
+    if n <= k or n <= 2 * block:
+        return jax.lax.top_k(scores, min(k, n))
+    pad = (-n) % block
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    padded = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=neg_inf)
+    nb = padded.shape[1] // block
+    bmax = padded.reshape(nq, nb, block).max(axis=-1)
+    kb = min(k, nb)
+    _, bidx = topk_transposed(bmax, kb, interpret=interpret)
+    bidx = jax.lax.sort(bidx, dimension=1)
+    pool = jnp.take_along_axis(padded.reshape(nq, nb, block),
+                               bidx[:, :, None], axis=1)     # (Nq, kb, block)
+    vals, pos = topk_transposed(pool.reshape(nq, kb * block), k,
+                                interpret=interpret)
+    src = jnp.take_along_axis(bidx, pos // block, axis=1) * block + pos % block
+    return vals, jnp.minimum(src, n - 1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("k", "block"))
 def topk_from_block_max(scores_padded: jnp.ndarray, bmax: jnp.ndarray,
                         k: int, block: int = 16):
@@ -425,6 +457,77 @@ def banded_topk_spans_grouped_shift(st_probs: jnp.ndarray, ed_probs: jnp.ndarray
     pool = vals.reshape(nq, -1)
     k = min(top_n, pool.shape[1])
     scores, pos = jax.lax.top_k(pool, k)
+    flat = jnp.take_along_axis(canon.reshape(nq, -1), pos, axis=1)
+    if k < top_n:
+        scores = jnp.pad(scores, ((0, 0), (0, top_n - k)))
+        flat = jnp.pad(flat, ((0, 0), (0, top_n - k)))
+    vid = flat // (L * W)
+    rem = flat % (L * W)
+    m = rem // W
+    n = m + min_l + rem % W
+    return (vid.astype(jnp.int32), m.astype(jnp.int32),
+            n.astype(jnp.int32), scores)
+
+
+@partial(jax.jit, static_argnames=("min_l", "max_l", "top_n", "interpret"))
+def banded_topk_spans_grouped_shift_psort(
+        st_probs: jnp.ndarray, ed_probs: jnp.ndarray,
+        video_scores: jnp.ndarray, min_l: int, max_l: int, top_n: int,
+        keep_mask: jnp.ndarray | None = None, interpret: bool = False):
+    """banded_topk_spans_grouped_shift with the two exact selections run by
+    the lane-parallel transposed bitonic kernel (ops/pallas_sort.py):
+    group select via topk_stable_blocked_psort, final pool select via
+    topk_transposed. A PARITY mode — the kernel is bit-equal to
+    ``lax.top_k`` including stable tie order, so outputs are bit-for-bit
+    equal to banded_topk_spans / grouped / grouped_shift
+    (tests/test_pallas_sort.py, tests/test_span_score_modes.py).
+
+    Reference op being replaced: inference.py:378-386 +
+    tensor_utils.py:115-141 (host numpy flat sort).
+    """
+    from tvretrieval_tpu.ops.pallas_sort import topk_transposed
+    nq, v, L = st_probs.shape
+    W = max_l - min_l
+
+    rw = jax.lax.reduce_window(
+        ed_probs, 0.0, jax.lax.max, (1, 1, W), (1, 1, 1),
+        padding=((0, 0), (0, 0), (0, W - 1)))
+    wmax = jnp.pad(rw, ((0, 0), (0, 0), (0, min_l)))[..., min_l:]
+    gmax = (st_probs * wmax) * video_scores[:, :, None]          # (Nq, V, L)
+    if keep_mask is not None:
+        gmax = (gmax * keep_mask[:, :, None]
+                - (1.0 - keep_mask)[:, :, None])
+
+    k_groups = min(top_n, v * L)
+    _, gidx = topk_stable_blocked_psort(gmax.reshape(nq, v * L), k_groups,
+                                        block=8, interpret=interpret)
+    gidx = jax.lax.sort(gidx, dimension=1)
+    g_vid = gidx // L
+    g_st = gidx % L
+
+    take2 = lambda x, i: jnp.take_along_axis(x.reshape(nq, v * L), i, axis=1)
+    st_g = take2(st_probs, gidx)                                 # (Nq, G)
+    vs_g = jnp.take_along_axis(video_scores, g_vid, axis=1)
+
+    ed_rows = jnp.take_along_axis(ed_probs, g_vid[:, :, None], axis=1)
+    onehot = (jnp.arange(L, dtype=jnp.int32)[None, None]
+              == g_st[:, :, None]).astype(ed_rows.dtype)         # (Nq, G, L)
+    ed_padded = jnp.pad(ed_rows, ((0, 0), (0, 0), (0, max_l)))
+    ed_g = jnp.stack(
+        [(onehot * jax.lax.dynamic_slice_in_dim(ed_padded, min_l + w, L,
+                                                axis=2)).sum(axis=2)
+         for w in range(W)], axis=-1)                            # (Nq, G, W)
+    valid_g = ((g_st[:, :, None] + min_l + jnp.arange(W)[None, None]) < L
+               ).astype(st_probs.dtype)
+    vals = ((st_g[:, :, None] * ed_g) * vs_g[:, :, None]) * valid_g
+    if keep_mask is not None:
+        keep_g = jnp.take_along_axis(keep_mask, g_vid, axis=1)   # (Nq, G)
+        vals = vals * keep_g[:, :, None] - (1.0 - keep_g)[:, :, None]
+    canon = gidx[:, :, None] * W + jnp.arange(W)[None, None]
+
+    pool = vals.reshape(nq, -1)
+    k = min(top_n, pool.shape[1])
+    scores, pos = topk_transposed(pool, k, interpret=interpret)
     flat = jnp.take_along_axis(canon.reshape(nq, -1), pos, axis=1)
     if k < top_n:
         scores = jnp.pad(scores, ((0, 0), (0, top_n - k)))

@@ -149,6 +149,12 @@ class RetrievalConfig:
     #                     (lax.approx_max_k at topk_approx_recall). NOT a
     #                     parity mode: accuracy contract = trained-
     #                     checkpoint metric A/B (BENCH_NOTES round 4)
+    #   "grouped_shift_psort": grouped_shift with the two exact selections
+    #                     run by the lane-parallel transposed bitonic
+    #                     kernel (ops/pallas_sort.py) — a PARITY mode,
+    #                     bit-equal to lax.top_k incl. stable tie order
+    #                     (tests/test_pallas_sort.py); measured in
+    #                     BENCH_NOTES round 5
     span_topk_mode: str = "grouped"
     # video top-V by lax.approx_max_k on the PRE-exp scores (fast path
     # only; takes precedence over video_topk_fused/video_topk_pre_exp).
@@ -192,7 +198,8 @@ def auto_interpret(cfg: RetrievalConfig) -> RetrievalConfig:
     need Mosaic kernels but the backend is CPU (smoke drives / tests) —
     Mosaic only lowers on TPU; interpret mode is numerics-identical."""
     needs = (cfg.video_score_mode in ("pallas", "pallas_int8")
-             or cfg.span_score_mode == "simsweep_cat_int8_flat")
+             or cfg.span_score_mode == "simsweep_cat_int8_flat"
+             or cfg.span_topk_mode == "grouped_shift_psort")
     if (needs and not cfg.pallas_interpret
             and jax.default_backend() == "cpu"):
         import dataclasses
@@ -667,6 +674,14 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
         span_topk = _ft.partial(
             banded_topk_spans_grouped_shift_approx,
             recall=getattr(cfg, "topk_approx_recall", 0.99))
+    elif topk_mode == "grouped_shift_psort":
+        import functools as _ft
+
+        from tvretrieval_tpu.ops.span import (
+            banded_topk_spans_grouped_shift_psort)
+        span_topk = _ft.partial(
+            banded_topk_spans_grouped_shift_psort,
+            interpret=getattr(cfg, "pallas_interpret", False))
     else:
         span_topk = banded_topk_spans_grouped
     vcmr_vid_local, vcmr_st, vcmr_ed, vcmr_scores = span_topk(
