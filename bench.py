@@ -101,6 +101,8 @@ def main() -> None:
                                       "grouped_shift"),
         video_topk_approx=bool(int(os.environ.get(
             "BENCH_VIDEO_TOPK_APPROX", "0"))),
+        video_topk_psort=bool(int(os.environ.get(
+            "BENCH_VIDEO_TOPK_PSORT", "0"))),
         topk_approx_recall=float(os.environ.get(
             "BENCH_TOPK_RECALL", "0.99")),
         span_sim_pad_l=int(os.environ.get("BENCH_SPAN_SIM_PAD_L", "128")),

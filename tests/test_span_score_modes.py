@@ -375,6 +375,28 @@ def test_grouped_shift_engine_matches_grouped(setup):
         np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
 
 
+def test_psort_engine_matches_grouped(setup):
+    """ENGINE-LEVEL contract for the lane-parallel-sort parity modes
+    (span_topk_mode='grouped_shift_psort' + video_topk_psort): the full
+    program output is bit-equal to the default selection paths
+    (ops/pallas_sort.py kernel in interpret mode on CPU)."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    ref = _run(model, variables, rcfg, cache, qb, cache.n_videos, "gather")
+    scfg = dataclasses.replace(rcfg, span_topk_mode="grouped_shift_psort",
+                               video_topk_psort=True,
+                               pallas_interpret=True)
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    out = _score_query_batch(model, variables, scfg, qf, qm,
+                             cache.video_feat1, cache.video_feat2,
+                             cache.sub_feat1, cache.sub_feat2,
+                             cache.mask, gt, True)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    for k in ref:
+        np.testing.assert_array_equal(out[k], ref[k], err_msg=k)
+
+
 def test_sharded_simsweep_matches_single_device(setup):
     """The sharded engine's simsweep mode must match the single-device
     gather-mode engine (same contract as test_sharded_retrieval)."""

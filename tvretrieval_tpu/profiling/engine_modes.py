@@ -158,6 +158,7 @@ def main() -> None:
                                    video_topk_pre_exp="preexp" in flags,
                                    video_topk_fused="fused" in flags,
                                    video_topk_approx="vapprox" in flags,
+                                   video_topk_psort="vpsort" in flags,
                                    topk_approx_recall=recall,
                                    span_sim_pad_l=(128 if "pad128" in flags
                                                    else 0))

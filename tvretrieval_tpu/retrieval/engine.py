@@ -160,6 +160,12 @@ class RetrievalConfig:
     # only; takes precedence over video_topk_fused/video_topk_pre_exp).
     # NOT a parity mode — same A/B contract as grouped_shift_approx.
     video_topk_approx: bool = False
+    # video top-V selection via the lane-parallel transposed bitonic
+    # kernel (ops/pallas_sort.py; topk_stable_blocked_psort) — a PARITY
+    # mode, bit-equal to the topk_stable_blocked selection it replaces
+    # (fast path only; approx/fused/external take precedence; composes
+    # with video_topk_pre_exp). Measured in BENCH_NOTES round 5.
+    video_topk_psort: bool = False
     # recall target for every approx_max_k selection site
     topk_approx_recall: float = 0.99
     # run the Pallas video-score kernel in interpret mode (CPU tests only;
@@ -199,7 +205,8 @@ def auto_interpret(cfg: RetrievalConfig) -> RetrievalConfig:
     Mosaic only lowers on TPU; interpret mode is numerics-identical."""
     needs = (cfg.video_score_mode in ("pallas", "pallas_int8")
              or cfg.span_score_mode == "simsweep_cat_int8_flat"
-             or cfg.span_topk_mode == "grouped_shift_psort")
+             or cfg.span_topk_mode == "grouped_shift_psort"
+             or getattr(cfg, "video_topk_psort", False))
     if (needs and not cfg.pallas_interpret
             and jax.default_backend() == "cpu"):
         import dataclasses
@@ -255,6 +262,20 @@ def _maybe_pad_clip_axis(feat2_cat, cfg: RetrievalConfig):
     if pad_l == L:
         return feat2_cat
     return jnp.pad(feat2_cat, ((0, 0), (0, pad_l - L), (0, 0)))
+
+
+def _video_sel(cfg: RetrievalConfig):
+    """Exact video top-V selector for the fast path: the lane-parallel
+    transposed-sort kernel when cfg.video_topk_psort (bit-equal —
+    tests/test_pallas_sort.py), else topk_stable_blocked."""
+    if getattr(cfg, "video_topk_psort", False):
+        import functools as _ft
+
+        from tvretrieval_tpu.ops.span import topk_stable_blocked_psort
+        return _ft.partial(
+            topk_stable_blocked_psort, block=16,
+            interpret=getattr(cfg, "pallas_interpret", False))
+    return topk_stable_blocked
 
 
 def _uses_fast_path(model: XML) -> bool:
@@ -590,12 +611,12 @@ def _score_query_batch(model: XML, variables, cfg: RetrievalConfig,
             # exact stable top-k on the raw cosine scores; exp only the V
             # selected values (identical ranking wherever exp does not
             # collapse f32-adjacent scores — see RetrievalConfig)
-            topv_q2c, topv_idx = topk_stable_blocked(q2c.astype(f32), V)
+            topv_q2c, topv_idx = _video_sel(cfg)(q2c.astype(f32), V)
             topv_scores = jnp.exp(cfg.q2c_alpha * topv_q2c)
         else:
             # exact stable top-k with block-max pruning (bit-equal to
             # lax.top_k, ~2x faster over the 21.8K-video axis)
-            topv_scores, topv_idx = topk_stable_blocked(q2c_exp, V)  # (Nq, V)
+            topv_scores, topv_idx = _video_sel(cfg)(q2c_exp, V)  # (Nq, V)
         gather_idx = (jnp.concatenate([topv_idx, gt_meta_idx[:, None]], axis=1)
                       if do_svmr else topv_idx)                # (Nq, V[+1])
         if cfg.span_score_mode == "simsweep_cat_int8":
