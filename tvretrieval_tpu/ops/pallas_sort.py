@@ -8,22 +8,28 @@ compare-exchange moves data across lanes — the expensive direction. This
 kernel transposes the problem: data lives (n, nq) with each of 128 LANES
 holding an independent query's row down the SUBLANE axis, so every bitonic
 partner exchange is a sublane roll (cheap VPU data movement) and all 128
-queries sort in lockstep. Measured on v5e at the engine's three shapes
-(see BENCH_NOTES round 5): the three lax.top_k/blocked selections cost
-~12 ms at nq=1000; this kernel runs the same selections bit-exactly in a
-fraction (numbers in BENCH_NOTES).
+queries sort in lockstep. Measured on v5e at the engine's selection shapes
+in BENCH_NOTES round 5.
 
 Exactness: compound comparisons (value desc, index asc) reproduce
 ``lax.top_k``'s stable tie order bit-for-bit; values are compared as the
 same f32s XLA compares. Pinned by tests/test_pallas_sort.py (interpret
 mode on CPU + the differential engine tests on TPU).
 
+Compile-size note: a fully unrolled network is Σ log2(n) stages and each
+stage's IR is proportional to n/8 sublane tiles — at n=2048 (66 stages x
+256 tiles) Mosaic compile blew past 15 minutes / crashed the remote
+compile helper. Instead the kernel keeps ONE stage body per distinct roll
+stride (log2(n) bodies, selected by ``lax.switch``) and drives the
+(kblk, j) schedule with traced ``fori_loop`` counters; the block-size
+mask uses a traced right-shift, so only the roll stride is static.
+
 Mosaic notes (CLAUDE.md gotchas honored):
   * mask algebra in int32 (vector i1 and/or fails to lower);
   * ``pltpu.roll`` shifts are non-negative and the data is f32/i32;
   * block last-two dims are (multiple of 8, 128);
-  * the sort network is statically unrolled (static shapes, no dynamic
-    control flow).
+  * dynamically-indexed control state is scalar (loop counters), all
+    array shapes static.
 """
 from __future__ import annotations
 
@@ -50,15 +56,15 @@ def _compound_gt(v, i, pv, pi):
     return gt + eq * lt
 
 
-def _stage(v, i, p, j: int, kblk: int):
-    """One bitonic compare-exchange pass at stride j, block size kblk, over
-    (n, 128) (value, index) arrays; the sort key order is (value desc,
-    index asc) in ascending-position blocks. p is the sublane-index iota.
+def _stage(v, i, p, j: int, kblk_log):
+    """One bitonic compare-exchange pass at STATIC stride j; the block
+    size 2**kblk_log is TRACED (mask via right-shift), over (n, 128)
+    (value, index) arrays; p is the sublane-index iota. The key order is
+    (value desc, index asc) in forward blocks.
 
     Partners are p XOR j: for elements with bit j clear that is p + j
-    (reached by rolling the array UP by j => roll shift n - j), for
-    elements with bit j set it is p - j (roll DOWN by j => shift j).
-    Pure sublane rolls — no lane crossing anywhere.
+    (roll shift n - j), for elements with bit j set it is p - j (roll
+    shift j). Pure sublane rolls — no lane crossing anywhere.
     """
     n = v.shape[0]
     pv_f = pltpu.roll(v, n - j, axis=0)   # partner value for bit-j == 0
@@ -66,37 +72,85 @@ def _stage(v, i, p, j: int, kblk: int):
     pv_b = pltpu.roll(v, j, axis=0)       # partner value for bit-j == 1
     pi_b = pltpu.roll(i, j, axis=0)
     bj = (p >> (j.bit_length() - 1)) & 1          # 1 => high element of pair
-    bk = (p >> (kblk.bit_length() - 1)) & 1       # 1 => reversed block
+    bk = jax.lax.shift_right_logical(
+        p, jnp.broadcast_to(kblk_log, p.shape)) & 1   # 1 => reversed block
     pv = jnp.where(bj == 0, pv_f, pv_b)
     pi = jnp.where(bj == 0, pi_f, pi_b)
     # In a "forward" block (bk == 0) position order is (value desc, index
     # asc): the LOW element of a pair keeps the winner. take == 1 => swap.
     eff = _compound_gt(pv, pi, v, i)              # partner beats mine
-    want_partner_low = eff                        # low position wants winner
-    take = jnp.where(bj == 0, want_partner_low, 1 - want_partner_low)
+    take = jnp.where(bj == 0, eff, 1 - eff)
     take = jnp.where(bk == 0, take, 1 - take)
     return (jnp.where(take == 1, pv, v), jnp.where(take == 1, pi, i))
 
 
-def _sort_desc(v, i, p, n: int):
-    """Full bitonic sort of (n, 128) columns, (value desc, index asc)."""
-    kblk = 2
-    while kblk <= n:
-        j = kblk // 2
-        while j >= 1:
-            v, i = _stage(v, i, p, j, kblk)
-            j //= 2
-        kblk *= 2
-    return v, i
-
-
 def _make_kernel(n: int, k_pad: int):
-    def kernel(x_ref, out_v_ref, out_i_ref):
+    log2n = n.bit_length() - 1
+    # truncating top-k: fully sort only blocks of B = next_pow2(k_pad),
+    # then log2(n/B) merge-and-discard rounds (each keeps the top half) —
+    # ~1.7x fewer row-stage units than the full n sort at the engine's
+    # n/k ratios, and later rounds touch geometrically less data
+    B = max(8, 1 << (k_pad - 1).bit_length())
+    log2B = min(B, n).bit_length() - 1
+
+    def kernel(x_ref, out_v_ref, out_i_ref, v_ref, i_ref):
         p = jax.lax.broadcasted_iota(jnp.int32, (n, _LANES), 0)
-        v = x_ref[:]
-        v, i = _sort_desc(v, p, p, n)
-        out_v_ref[:] = v[:k_pad]
-        out_i_ref[:] = i[:k_pad]
+        v_ref[:] = x_ref[:]
+        i_ref[:] = p
+
+        # --- phase 1: standard bitonic network up to block size B — each
+        # B-block ends sorted with ALTERNATING direction (desc/asc by
+        # block parity), the valley structure phase 2's merges need.
+        # One switch branch per distinct roll stride 2**b: IR holds
+        # log2(B) stage bodies instead of the full unrolled network
+        # (66 stages x n/8 sublane tiles blew Mosaic compile at n=2048).
+        def make_branch(b):
+            def branch(kblk_log):
+                v, i = _stage(v_ref[:], i_ref[:], p, 1 << b, kblk_log)
+                v_ref[:] = v
+                i_ref[:] = i
+            return branch
+
+        branches = [make_branch(b) for b in range(log2B)]
+
+        # phases kblk = 2**m, m = 1..log2B; phase m runs strides
+        # j = 2**(m-1) ... 2**0 (jpow = m-1-s)
+        def phase(m, _):
+            def stage_step(s, __):
+                jax.lax.switch(m - 1 - s, branches, m)
+                return __
+            return jax.lax.fori_loop(0, m, stage_step, _)
+
+        jax.lax.fori_loop(1, log2B + 1, phase, None)
+
+        # --- phase 2: merge pairs [desc-block ; asc-block], keep the top
+        # half, re-sort kept blocks into alternating direction; height
+        # halves per round (static python loop — shapes shrink per round)
+        h = n
+        while h > B:
+            ph = p[:h]
+            # forward compare-exchange at stride B for EVERY pair
+            # (kblk_log > log2(n) => direction bit 0 everywhere): the low
+            # half of each 2B pair now holds that pair's top-B elements
+            # (bitonic valley property), as a bitonic sequence
+            v, i = _stage(v_ref[:h], i_ref[:h], ph, B, log2n + 2)
+            keep = lambda a: a.reshape(h // (2 * B), 2 * B, _LANES)[:, :B, :
+                                       ].reshape(h // 2, _LANES)
+            v_ref[: h // 2] = keep(v)
+            i_ref[: h // 2] = keep(i)
+            h //= 2
+            # bitonic merge of each kept B-block, direction = block parity
+            # (bit log2(B) of position) — rebuilds the alternating valley
+            j = B // 2
+            while j >= 1:
+                v, i = _stage(v_ref[:h], i_ref[:h], p[:h], j, log2B)
+                v_ref[:h] = v
+                i_ref[:h] = i
+                j //= 2
+
+        out_v_ref[:] = v_ref[:k_pad]
+        out_i_ref[:] = i_ref[:k_pad]
+
     return kernel
 
 
@@ -114,8 +168,8 @@ def topk_transposed(x: jnp.ndarray, k: int, interpret: bool = False):
     -inf (never selected while the row has >= k finite values — the same
     contract as ops/span.topk_stable_blocked) and queries to a lane
     multiple, transposes to (n_pad, nq_pad), sorts every lane column with
-    a statically-unrolled bitonic network of SUBLANE rolls, and returns
-    the top ``k`` rows transposed back.
+    a bitonic network of SUBLANE rolls, and returns the top ``k`` rows
+    transposed back.
     """
     nq, n = x.shape
     if n <= k:
@@ -137,6 +191,12 @@ def topk_transposed(x: jnp.ndarray, k: int, interpret: bool = False):
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((k_pad, nq_pad), jnp.float32),
                    jax.ShapeDtypeStruct((k_pad, nq_pad), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((n_pad, _LANES), jnp.float32),
+                        pltpu.VMEM((n_pad, _LANES), jnp.int32)],
+        # n_pad=4096: block + scratch + one stage's four roll temps peak at
+        # ~20M scoped vmem; v5e has headroom above the 16M default limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xt)
     vals = out_v[:k, :nq].T
