@@ -42,7 +42,8 @@ def main():
         ("group_bmax (1000,1250) k=200", 1250, 200),
         ("blocked_pool (1000,1600) k=200", 1600, 200),
         ("final_pool (1000,3000) k=200", 3000, 200),
-        ("group_row (1000,10000) k=200", 10000, 200),
+        # (1000,10000) direct: n_pad=16384 puts block+scratch+roll temps
+        # past VMEM — the engine always runs the blocked prestage first
         ("video_bmax (1000,1364) k=100", 1364, 100),
     ]
     for name, n, k in cases:

@@ -8,8 +8,17 @@ compare-exchange moves data across lanes — the expensive direction. This
 kernel transposes the problem: data lives (n, nq) with each of 128 LANES
 holding an independent query's row down the SUBLANE axis, so every bitonic
 partner exchange is a sublane roll (cheap VPU data movement) and all 128
-queries sort in lockstep. Measured on v5e at the engine's selection shapes
-in BENCH_NOTES round 5.
+queries sort in lockstep.
+
+Measured on v5e (BENCH_NOTES round 5): standalone the kernel beats
+lax.top_k at some engine shapes ((1000,1250) k=200: 3.33 vs 4.01 ms) and
+ties/loses at others (lax's own timings swing 3.2-6.1 ms run to run);
+ENGINE-LEVEL the psort modes are a measured NEGATIVE (-6.7%: 56.18 vs
+52.66 ms/batch at corpus scale) — the pad-to-pow2 + transpose layout
+copies cost more inside the fused program than the sort saves, while XLA
+fuses lax.top_k's surroundings. The modes stay as validated, bit-exact
+infrastructure (same status as grouped_shift8): they would win where rows
+are long, k/n is small, and the input is already transposed.
 
 Exactness: compound comparisons (value desc, index asc) reproduce
 ``lax.top_k``'s stable tie order bit-for-bit; values are compared as the

@@ -137,8 +137,10 @@ def topk_stable_blocked_psort(scores: jnp.ndarray, k: int, block: int = 8,
     selection-impl-independent; tests/test_pallas_sort.py +
     tests/test_span_score_modes.py). XLA's TopK sorts along the LANE axis
     (cross-lane exchanges); the kernel sorts 128 queries in lockstep down
-    the SUBLANE axis. Measured at the engine's selection shapes in
-    BENCH_NOTES round 5."""
+    the SUBLANE axis. Engine-level measurement was NEGATIVE (-6.7% at
+    corpus scale — transpose/pad copies outweigh the sort win inside the
+    fused program; BENCH_NOTES round 5); kept as validated bit-exact
+    infrastructure for long-row / small-k / pre-transposed shapes."""
     from tvretrieval_tpu.ops.pallas_sort import topk_transposed
     nq, n = scores.shape
     if n <= k or n <= 2 * block:
@@ -481,6 +483,9 @@ def banded_topk_spans_grouped_shift_psort(
     ``lax.top_k`` including stable tie order, so outputs are bit-for-bit
     equal to banded_topk_spans / grouped / grouped_shift
     (tests/test_pallas_sort.py, tests/test_span_score_modes.py).
+    Engine-level measurement was NEGATIVE (-6.7% vs grouped_shift at
+    corpus scale, BENCH_NOTES round 5) — grouped_shift stays the shipped
+    exact mode; this stays as validated infrastructure.
 
     Reference op being replaced: inference.py:378-386 +
     tensor_utils.py:115-141 (host numpy flat sort).
