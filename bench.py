@@ -84,13 +84,14 @@ def main() -> None:
     #   sharded), so no A/B gate applies — shipped as the round-4 headline
     #   (+19.5%: 19,179 vs 16,087 q/s under this harness,
     #   results_scale/q4c_logs/bench_candidates.log).
-    # - approx selection stack (grouped_shift_approx + video_topk_approx,
-    #   recall 0.95) on bf16 sim: +5.5-7% on top of pad128 (20,514 r4 /
-    #   19,967 r5a bench captures; engine_modes fresh-process 20,041-
-    #   20,294 — the round-4 "-17% dead" reading was a non-reproducible
-    #   transient, see BENCH_NOTES round-5 reconciliation). NOT a parity
-    #   mode: trained-checkpoint A/B at rt=0.95 AND rt=0.90 moved no
-    #   VCMR/SVMR/VR metric (results_scale/tvr-tvrscale-r4b JSONs).
+    # - approx selection stack (grouped_shift_approx + video_topk_approx)
+    #   on bf16 sim: +5.5-7% on top of pad128 at rt=0.95 (20,514 r4 /
+    #   20,533 r5b bench captures; the round-4 "-17% dead" reading was a
+    #   non-reproducible transient, see BENCH_NOTES round-5
+    #   reconciliation), and rt=0.90 adds another +4.7% (21,490, bench
+    #   r5b). NOT a parity mode: trained-checkpoint A/B at rt=0.95 AND
+    #   rt=0.90 moved no VCMR/SVMR/VR metric
+    #   (results_scale/tvr-tvrscale-r4b JSONs).
     # mode overrides below are for A/B capture runs only; the defaults ARE
     # the shipped configuration.
     span_mode = os.environ.get("BENCH_SPAN_SCORE_MODE", "simsweep_cat_bf16")
@@ -111,7 +112,7 @@ def main() -> None:
         video_topk_psort=bool(int(os.environ.get(
             "BENCH_VIDEO_TOPK_PSORT", "0"))),
         topk_approx_recall=float(os.environ.get(
-            "BENCH_TOPK_RECALL", "0.95")),
+            "BENCH_TOPK_RECALL", "0.90")),
         span_sim_pad_l=int(os.environ.get("BENCH_SPAN_SIM_PAD_L", "128")),
         video_chunk_v=int(os.environ.get("BENCH_VIDEO_CHUNK_V", "16")))
 
