@@ -27,7 +27,8 @@ EVAL_OVERRIDABLE = (
     "eval_context_bsz", "tasks", "max_pred_l", "min_pred_l",
     "max_before_nms", "max_vcmr_video", "external_inference_vr_res_path",
     "span_score_mode", "video_score_mode", "span_topk_mode", "eval_cache_dtype",
-    "video_topk_fused", "video_topk_approx", "topk_approx_recall",
+    "video_topk_fused", "video_topk_approx", "video_topk_psort",
+    "topk_approx_recall",
     "span_sim_pad_l", "video_chunk_v", "streaming",
     "streaming_block_videos",
 )
@@ -48,13 +49,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["einsum", "pallas", "pallas_int8"])
     p.add_argument("--span_topk_mode", type=str, default=None,
                    choices=["grouped", "grouped_shift", "grouped_shift8",
-                            "grouped_shift_approx"])
+                            "grouped_shift_approx", "grouped_shift_psort"])
     p.add_argument("--video_topk_fused", type=int, default=None,
                    help="1: fused video-score -> top-k (block maxima "
                         "emitted by the flat kernel; pre-exp semantics)")
     p.add_argument("--video_topk_approx", type=int, default=None,
                    help="1: video top-V by lax.approx_max_k on pre-exp "
                         "scores (A/B-contracted, not a parity mode)")
+    p.add_argument("--video_topk_psort", type=int, default=None,
+                   help="1: video top-V via the lane-parallel transposed "
+                        "sort kernel (parity mode, ops/pallas_sort.py)")
     p.add_argument("--topk_approx_recall", type=float, default=None,
                    help="recall target for every approx_max_k site")
     p.add_argument("--span_sim_pad_l", type=int, default=None,

@@ -152,7 +152,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="retrieval-eval video-level scoring path")
     p.add_argument("--span_topk_mode", type=str, default="grouped",
                    choices=["grouped", "grouped_shift", "grouped_shift8",
-                            "grouped_shift_approx"],
+                            "grouped_shift_approx", "grouped_shift_psort"],
                    help="VCMR span top-k expansion (both bit-exact; "
                         "grouped_shift avoids the (Nq, V, L, W) band "
                         "tensor — faster and ~4.5 GB less HBM at scale)")
@@ -163,6 +163,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--video_topk_approx", type=int, default=0,
                    help="1: video top-V by lax.approx_max_k on pre-exp "
                         "scores (A/B-contracted, not a parity mode)")
+    p.add_argument("--video_topk_psort", type=int, default=0,
+                   help="1: video top-V via the lane-parallel transposed "
+                        "sort kernel (parity mode, ops/pallas_sort.py)")
     p.add_argument("--topk_approx_recall", type=float, default=0.99,
                    help="recall target for every approx_max_k site")
     p.add_argument("--span_sim_pad_l", type=int, default=0,
@@ -280,6 +283,7 @@ def evaluate_retrieval(model, variables, builder, corpus, eval_rows, args, tasks
         span_topk_mode=getattr(args, "span_topk_mode", "grouped"),
         video_topk_fused=bool(getattr(args, "video_topk_fused", 0) or 0),
         video_topk_approx=bool(getattr(args, "video_topk_approx", 0) or 0),
+        video_topk_psort=bool(getattr(args, "video_topk_psort", 0) or 0),
         topk_approx_recall=float(
             getattr(args, "topk_approx_recall", 0.99) or 0.99),
         span_sim_pad_l=int(getattr(args, "span_sim_pad_l", 0) or 0),
@@ -390,6 +394,7 @@ def evaluate_retrieval_fast(model, variables, builder, corpus, eval_rows,
         span_topk_mode=getattr(args, "span_topk_mode", "grouped"),
         video_topk_fused=bool(getattr(args, "video_topk_fused", 0) or 0),
         video_topk_approx=bool(getattr(args, "video_topk_approx", 0) or 0),
+        video_topk_psort=bool(getattr(args, "video_topk_psort", 0) or 0),
         topk_approx_recall=float(
             getattr(args, "topk_approx_recall", 0.99) or 0.99),
         span_sim_pad_l=int(getattr(args, "span_sim_pad_l", 0) or 0),
