@@ -518,6 +518,50 @@ def test_sharded_simsweep_cat_matches_single_device(setup):
                                ref["svmr_scores"], rtol=2e-5, atol=1e-8)
 
 
+def test_sharded_video_topk_approx_candidates(setup):
+    """Sharded video_topk_approx (per-shard approx_max_k + exact merge):
+    on CPU approx_max_k falls back to exact, so the selected VIDEO SET per
+    query must equal the exact sharded path's (order may differ — approx
+    merge ranks by pre-exp score desc / global idx asc, same keys)."""
+    world, builder, model, variables, rcfg, cache, qb = setup
+    if rcfg.cache_dtype_str != "float32":
+        pytest.skip("one dtype is enough for the sharded mode check")
+    from tvretrieval_tpu.parallel.mesh import make_mesh
+    from tvretrieval_tpu.parallel.sharded_retrieval import (
+        pad_videos_to_multiple, score_query_batch_sharded)
+
+    mesh = make_mesh(8)
+    feat2_cat = jnp.concatenate([cache.video_feat2, cache.sub_feat2], axis=-1)
+    arrs, nv_pad = pad_videos_to_multiple(
+        [cache.video_feat1, feat2_cat, cache.sub_feat1, cache.mask],
+        cache.n_videos, 8)
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    vf1, f2c, sf1, mask = [jax.device_put(a, sh) for a in arrs]
+    sf2_dummy = jax.device_put(jnp.zeros((nv_pad, 1, 0), f2c.dtype), sh)
+    qf = jnp.asarray(qb.query_feat)
+    qm = jnp.asarray(qb.query_mask)
+    gt = jnp.asarray(np.arange(qf.shape[0]) % cache.n_videos, jnp.int32)
+    run = lambda cfg: score_query_batch_sharded(
+        model, variables, cfg, qf, qm, vf1, f2c, sf1, sf2_dummy, mask, gt,
+        True, mesh)
+    base = dataclasses.replace(rcfg, span_score_mode="simsweep_cat")
+    ref = run(base)
+    out = run(dataclasses.replace(base, video_topk_approx=True,
+                                  span_topk_mode="grouped_shift_approx"))
+    for q in range(np.asarray(ref["topv_idx"]).shape[0]):
+        assert (set(np.asarray(out["topv_idx"])[q])
+                == set(np.asarray(ref["topv_idx"])[q]))
+    # same span candidate sets up to fp-tie slack
+    for q in range(np.asarray(ref["vcmr_st"]).shape[0]):
+        r = set(zip(np.asarray(ref["vcmr_vid_global"])[q],
+                    np.asarray(ref["vcmr_st"])[q],
+                    np.asarray(ref["vcmr_ed"])[q]))
+        o = set(zip(np.asarray(out["vcmr_vid_global"])[q],
+                    np.asarray(out["vcmr_st"])[q],
+                    np.asarray(out["vcmr_ed"])[q]))
+        assert len(r - o) <= 1 and len(o - r) <= 1
+
+
 def test_simsweep_cat_int8_flat_close_to_int8(setup):
     """The fused Pallas int8 flat sweep (span_score_mode=
     'simsweep_cat_int8_flat'): video ranking untouched (bit-equal), span

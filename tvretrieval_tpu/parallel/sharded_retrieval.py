@@ -292,21 +292,33 @@ def score_query_batch_sharded(model: XML, variables, cfg,
             st_probs_all = jax.nn.softmax(st_logits_all.astype(f32), axis=-1)
             ed_probs_all = jax.nn.softmax(ed_logits_all.astype(f32), axis=-1)
 
-        # --- phase 1: EXACT global top-V (score desc, global idx asc).
+        # --- phase 1: global top-V (score desc, global idx asc) — EXACT
+        # per-shard selection + exact cross-shard merge by default.
         # topk_stable_blocked is bit-equal to lax.top_k (stable tie order)
         # and ~2x faster over wide video axes. With video_topk_pre_exp the
         # selection/sort run on the raw cosine scores (strictly monotone
         # under exp -> same order) and exp is applied to the V survivors.
         # The fused kernel path selects from its emitted block maxima
         # (pre-exp semantics implied), skipping the separate block-max pass.
+        # With video_topk_approx the PER-SHARD selection uses
+        # lax.approx_max_k on the pre-exp scores (the single-chip vapprox
+        # semantics); the cross-shard merge stays exact, so the global
+        # recall is >= the per-shard target — the same A/B contract as the
+        # single-chip mode (selected sets can differ from single-chip
+        # vapprox, as approximation is per shard row, not per full row).
+        vapprox = getattr(cfg, "video_topk_approx", False)
         pre_exp = (getattr(cfg, "video_topk_pre_exp", False)
-                   or fused_blocks is not None)
+                   or fused_blocks is not None or vapprox)
         v_local = min(V, nv_local)
         if fused_blocks is not None:
             from tvretrieval_tpu.ops.span import topk_from_block_max
             scores_pad, bmax, chunk = fused_blocks
             top_local_sel, top_local_idx = topk_from_block_max(
                 scores_pad, bmax, v_local, block=chunk)
+        elif vapprox:
+            top_local_sel, top_local_idx = jax.lax.approx_max_k(
+                q2c.astype(f32), v_local,
+                recall_target=getattr(cfg, "topk_approx_recall", 0.99))
         else:
             sel_scores = q2c.astype(f32) if pre_exp else q2c_exp
             top_local_sel, top_local_idx = topk_stable_blocked(
