@@ -310,15 +310,17 @@ def score_query_batch_sharded(model: XML, variables, cfg,
         pre_exp = (getattr(cfg, "video_topk_pre_exp", False)
                    or fused_blocks is not None or vapprox)
         v_local = min(V, nv_local)
-        if fused_blocks is not None:
+        if vapprox:
+            # checked BEFORE fused_blocks — same precedence as the
+            # single-chip engine (approx > fused)
+            top_local_sel, top_local_idx = jax.lax.approx_max_k(
+                q2c.astype(f32), v_local,
+                recall_target=getattr(cfg, "topk_approx_recall", 0.99))
+        elif fused_blocks is not None:
             from tvretrieval_tpu.ops.span import topk_from_block_max
             scores_pad, bmax, chunk = fused_blocks
             top_local_sel, top_local_idx = topk_from_block_max(
                 scores_pad, bmax, v_local, block=chunk)
-        elif vapprox:
-            top_local_sel, top_local_idx = jax.lax.approx_max_k(
-                q2c.astype(f32), v_local,
-                recall_target=getattr(cfg, "topk_approx_recall", 0.99))
         else:
             sel_scores = q2c.astype(f32) if pre_exp else q2c_exp
             top_local_sel, top_local_idx = topk_stable_blocked(
